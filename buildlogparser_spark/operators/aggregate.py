@@ -1,0 +1,118 @@
+"""Aggregations — the reference's sink-side metadata re-expressed relationally.
+
+Each function mirrors a reference aggregate (SURVEY.md §2.5, cited per
+function) and is a plain hash aggregate / window that Catalyst executes as
+partial+final with map-side combine. All computed columns are aliased to
+stable names so the driver's Spark↔DuckDB value-hash compare lines up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def severity_counts(diags: DataFrame) -> DataFrame:
+    """total/error/warning/info/note counts (OutputFormatters.swift:117-128,
+    319-325, 377-382) as one row."""
+    return diags.agg(
+        F.count("*").alias("total_count"),
+        F.sum(F.when(F.col("severity") == "error", 1).otherwise(0)).alias("error_count"),
+        F.sum(F.when(F.col("severity") == "warning", 1).otherwise(0)).alias("warning_count"),
+        F.sum(F.when(F.col("severity") == "info", 1).otherwise(0)).alias("info_count"),
+        F.sum(F.when(F.col("severity") == "note", 1).otherwise(0)).alias("note_count"),
+    )
+
+
+def category_counts(diags: DataFrame) -> DataFrame:
+    """Per-category histogram (the reference test's oracle —
+    BuildLogParserTests.swift:259-262)."""
+    return diags.groupBy("category").agg(F.count("*").alias("n"))
+
+
+def per_file_counts(diags: DataFrame) -> DataFrame:
+    """Group by file with 'Unknown' for null (OutputFormatters.swift:346-359)."""
+    return (
+        diags.groupBy(F.coalesce(F.col("file"), F.lit("Unknown")).alias("file"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("severity") == "error", 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.col("severity") == "warning", 1).otherwise(0)).alias("n_warnings"),
+        )
+    )
+
+
+def files_affected(diags: DataFrame) -> DataFrame:
+    """Distinct-file count (OutputFormatters.swift:392-393)."""
+    return diags.agg(
+        F.count_distinct(F.coalesce(F.col("file"), F.lit("Unknown"))).alias("files_affected"))
+
+
+def top_files(diags: DataFrame, k: int = 5) -> DataFrame:
+    """Top-K most problematic files (OutputFormatters.swift:396-402).
+    Executes as TakeOrderedAndProject — no global sort. Tie-break on file
+    name for determinism."""
+    return (
+        per_file_counts(diags)
+        .select("file", "n")
+        .orderBy(F.desc("n"), F.asc("file"))
+        .limit(k)
+    )
+
+
+def severity_pct(diags: DataFrame) -> DataFrame:
+    """Severity % distribution (OutputFormatters.swift:404-424); percentage
+    rounded to 2 decimals for stable cross-engine hashing."""
+    counts = diags.groupBy("severity").agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "severity", "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 2).alias("pct"),
+    )
+
+
+def errors_per_tool(diags: DataFrame) -> DataFrame:
+    """Graft aggregate (BASELINE.json north_star): errors per emitting tool."""
+    return (
+        diags.filter(F.col("severity") == "error")
+        .groupBy("tool").agg(F.count("*").alias("n_errors"))
+    )
+
+
+def warnings_per_conversation(diags: DataFrame) -> DataFrame:
+    """Graft aggregate: warnings per conversation."""
+    return (
+        diags.filter(F.col("severity") == "warning")
+        .groupBy("conv_id").agg(F.count("*").alias("n_warnings"))
+    )
+
+
+def line_byte_counts(transcripts: DataFrame) -> DataFrame:
+    """Validation totals: line count + UTF-8 bytes (+1 newline per line)
+    (BuildLogParserCommand.swift:144-151)."""
+    return transcripts.agg(
+        F.count("*").alias("total_lines"),
+        F.sum(F.octet_length("text") + 1).alias("total_bytes"),
+    )
+
+
+def step_durations(transcripts: DataFrame) -> DataFrame:
+    """Per-turn step duration = ts delta to previous turn in the conversation
+    (SURVEY.md §2.5 graft aggregates), in microseconds (exact integers —
+    stable to hash across engines)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC so the
+    # cast is value-preserving and unix_micros applies
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return transcripts.select(
+        "conv_id", "turn_idx",
+        (us - F.lag(us).over(w)).alias("step_duration_us"),
+    )
+
+
+def duration_histogram(transcripts: DataFrame) -> DataFrame:
+    """log2-bucketed histogram of step durations (floor(log2(us)) buckets —
+    deterministic integer math, no float binning ambiguity)."""
+    d = step_durations(transcripts).filter(F.col("step_duration_us") > 0)
+    bucket = F.floor(F.log2(F.col("step_duration_us"))).cast("long").alias("bucket")
+    return d.select(bucket).groupBy("bucket").agg(F.count("*").alias("n"))

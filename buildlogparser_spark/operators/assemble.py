@@ -1,0 +1,202 @@
+"""Stateful multi-line assembly — the reference's streaming state machine at
+Spark scale.
+
+Two implementations with different generality/performance trade-offs:
+
+1. :func:`parse_stateful` — the GENERAL operator: any rule stack, exact
+   ``consumeLine`` semantics (BuildLogParser.swift:325-364), via
+   ``groupBy(conv_id).applyInPandas`` running the pure-Python state machine
+   once per conversation. Arrow-batched, rules compiled once per executor
+   Python worker; no per-row Python calls crossing the JVM boundary. One
+   shuffle on conv_id. Skew note: a single monster conversation serializes
+   into one task — mitigate upstream with
+   :func:`buildlogparser_spark.operators.route.salt_repartition` for the
+   stateless stages; the stateful stage's unit of work is inherently a
+   conversation (reference semantics: a diagnostic never spans
+   conversations).
+
+2. :func:`assemble_compile_blocks` — the SCALE PATH for the dominant shape
+   (compile-error blocks with context/caret/note continuations, i.e. a
+   single ``CompileErrorRule`` — the reference's common-rules configuration):
+   pure window/aggregate formulation, whole-stage codegen end-to-end, no
+   Python. Semantics proven equal to ``ParserOracle([CompileErrorRule()])``
+   by differential tests on adversarial generated logs
+   (tests/test_assemble.py).
+
+Single-rule CompileErrorRule semantics (derived from consumeLine +
+CompileErrorRule.swift, see rules/table.py):
+
+  per line, with an open block:
+    * terminator (blank / trimmed-prefix SwiftCompile|cd |** BUILD|---)
+      closes the block; the same line may also start a new block;
+    * a start match (regex + int guards) closes and restarts;
+    * ``note:``/caret-prefixed or non-fastFail non-empty lines append to
+      ``related_messages``;
+    * fastFail-true lines that match nothing are *dropped in place* (the
+      block stays open — consumeLine falls through all four branches).
+
+  with no open block, only a start match does anything.
+
+Vectorized formulation: is_start / is_end / is_cont are stateless per-line
+booleans; ``segment = running count of is_start``; a row belongs to the
+block iff no terminator occurred strictly after the block's start row and
+before it. Two windows over (conv_id ordered by turn_idx) + one hash
+aggregate — the shuffle key is conv_id only.
+
+Known restriction (documented, tested): a line that BOTH starts with a
+caret/``note:`` after trimming AND matches the full start regex (e.g.
+``^x.swift:1:2: error: m``) is continuation-vs-start *state-dependent* in
+the reference (matchContinuation wins only while a block is open) and is
+treated as a start here. Such lines require the general
+:func:`parse_stateful` path; they do not occur in realistic compiler output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+from pyspark.sql.window import Window
+
+from ..rules.table import COMPILE_ERROR_RE, Rule
+
+STATEFUL_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("start_turn_idx", IntegerType()),
+    StructField("file", StringType()),
+    StructField("line", LongType()),
+    StructField("column", LongType()),
+    StructField("severity", StringType()),
+    StructField("message", StringType()),
+    StructField("related_messages", ArrayType(StringType())),
+    StructField("source", StringType()),
+    StructField("category", StringType()),
+    StructField("raw", StringType()),
+    StructField("build_target", StringType()),
+])
+
+
+def parse_stateful(
+    transcripts: DataFrame, rules_factory: Callable[[], list[Rule]],
+) -> DataFrame:
+    """Exact consumeLine semantics for an arbitrary rule stack, one state
+    machine run per conversation (vectorized per group via Arrow)."""
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(transcripts.sparkSession)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from buildlogparser_spark.oracle import parse_lines_with_turns
+
+        pdf = pdf.sort_values("turn_idx")
+        pairs = parse_lines_with_turns(
+            pdf["text"].tolist(), pdf["turn_idx"].tolist(), rules_factory())
+        conv = pdf["conv_id"].iloc[0] if len(pdf) else None
+        out = [
+            {
+                "conv_id": conv,
+                "start_turn_idx": t,
+                "file": d.file, "line": d.line, "column": d.column,
+                "severity": d.severity, "message": d.message,
+                "related_messages": d.related_messages, "source": d.source,
+                "category": d.category, "raw": d.raw,
+                "build_target": d.build_target,
+            }
+            for t, d in pairs
+        ]
+        return pd.DataFrame(out, columns=[f.name for f in STATEFUL_SCHEMA.fields])
+
+    return (
+        transcripts
+        .select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandas(run, STATEFUL_SCHEMA)
+    )
+
+
+def assemble_compile_blocks(transcripts: DataFrame, source: str = "compiler",
+                            category_prefix: str = "") -> DataFrame:
+    """Window/aggregate segment assembly for CompileErrorRule blocks — the
+    no-Python scale path. Output schema == STATEFUL_SCHEMA."""
+    T = F.col("text")
+    trimmed = F.regexp_replace(T, r"^[ \t]+|[ \t]+$", "")
+
+    is_start = (
+        (T.contains("error:") | T.contains("warning:"))
+        & T.rlike(COMPILE_ERROR_RE)
+        & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 3)) <= 18)
+        & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 4)) <= 18)
+    )
+    is_term = (
+        (F.length(trimmed) == 0)
+        | trimmed.startswith("SwiftCompile")
+        | trimmed.startswith("cd ")
+        | trimmed.startswith("** BUILD")
+        | trimmed.startswith("---")
+    )
+    note_or_caret = trimmed.startswith("note:") | trimmed.startswith("^")
+    fastfail = T.contains(":") & (T.contains("error:") | T.contains("warning:"))
+    is_cont = ~is_start & ~is_term & (
+        note_or_caret | (~fastfail & (F.length(trimmed) > 0)))
+
+    w_conv = (
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .withColumn("is_start", is_start)
+        .withColumn("is_term", is_term)
+        .withColumn("is_cont", is_cont)
+        .withColumn("seg", F.sum(F.col("is_start").cast("int")).over(w_conv))
+        .filter(F.col("seg") > 0)
+    )
+    w_seg = (
+        Window.partitionBy("conv_id", "seg").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # closed once a terminator appears strictly after the start row
+    df = df.withColumn(
+        "closed",
+        F.max(F.when(~F.col("is_start") & F.col("is_term"), 1).otherwise(0)).over(w_seg),
+    )
+
+    header = F.col("text")
+    agg = (
+        df.groupBy("conv_id", "seg")
+        .agg(
+            F.min_by(F.struct("turn_idx", "text"), "turn_idx").alias("start"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_cont") & (F.col("closed") == 0),
+                           F.struct("turn_idx", "text"))
+                )
+            ).alias("conts"),
+        )
+    )
+    header = F.col("start.text")
+    related = F.transform(F.col("conts"), lambda s: s["text"])
+    sev = F.regexp_extract(header, COMPILE_ERROR_RE, 5)
+    category = (
+        F.concat(F.lit(category_prefix + "_"), sev) if category_prefix else sev
+    )
+    return agg.select(
+        "conv_id",
+        F.col("start.turn_idx").alias("start_turn_idx"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 1).alias("file"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 3).cast("long").alias("line"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 4).cast("long").alias("column"),
+        sev.alias("severity"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 6).alias("message"),
+        related.alias("related_messages"),
+        F.lit(source).alias("source"),
+        category.alias("category"),
+        header.alias("raw"),
+        F.lit(None).cast("string").alias("build_target"),
+    )

@@ -1,0 +1,258 @@
+"""Deduplication operators over the ``documents`` table — the training-data
+pipeline additions (driver brief): exact, MinHash+LSH, SimHash, n-gram
+Jaccard. All hashes are *portable* (md5-derived) so every stage is
+reproducible in DuckDB for the correctness oracle — never engine-specific
+``hash()`` (Spark murmur3 and DuckDB's hash do not agree).
+
+Scale notes (10^12-doc thinking):
+* exact dedup: one hash-aggregate on a 16-byte digest — map-side combine,
+  no row texts shuffled (group on digest, carry min(doc_id)).
+* MinHash/LSH: shingle explode → per-doc signature (groupBy doc) → band
+  explode → bucket join. Candidate generation is |bands|·|docs| rows, and
+  the self-join is on (band, bucket) — skew there means a hot bucket, which
+  the band hash spreads. Verification (exact Jaccard) only runs on
+  candidate pairs, never all-pairs.
+* SimHash: 64-bit fingerprint per doc; near-dup = popcount(xor) ≤ k. The
+  all-pairs check is avoided in practice by blocking on bit-bands (same
+  idea as LSH); we expose the fingerprint + banded candidate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# portable hashing helpers (identical in DuckDB SQL — see *_sql functions)
+# ---------------------------------------------------------------------------
+
+
+def _md5_i64(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative bigint (60 bits).
+    15 chars keeps the value < 2^60, inside BIGINT range in both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_i64_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _md5_i32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens (\\W+ split, empties dropped)."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: F.length(t) > 0)
+
+
+TOKENS_SQL = (
+    "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> length(x) > 0)"
+)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as space-joined strings (distinct)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))))
+
+
+def shingles_sql(c: str, k: int = 3) -> str:
+    toks = TOKENS_SQL.format(c=c)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, n_docs, keep_doc_id).
+    The canonical survivor is min(doc_id)."""
+    return (
+        documents
+        .select(F.col("doc_id"), F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def dedup_exact_unique(documents: DataFrame) -> DataFrame:
+    """The deduplicated doc_id set (survivors only)."""
+    return dedup_exact(documents).select(F.col("keep_doc_id").alias("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 2^31-1 keeps a*h+b < 2^59: safe in int64 arithmetic (no overflow under
+# ANSI mode) in both Spark and DuckDB. 31-bit minhash precision is ample.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _md5_i32(col: Column) -> Column:
+    """First 7 hex chars of md5 as a bigint < 2^28 (fits the modmul bound)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from md5 of the index — no RNG."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"minhash-{i}".encode()).hexdigest()
+        a = (int(h[:7], 16) % (MERSENNE_P - 1)) + 1
+        b = int(h[7:14], 16) % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
+                       shingle_k: int = 3) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]) — min over shingles of
+    (a*h + b) mod p, h = portable 60-bit shingle hash. Computed columnar:
+    explode shingles once, aggregate num_hashes mins in one pass."""
+    coeffs = _minhash_coeffs(num_hashes)
+    sh = (
+        documents.select("doc_id", F.explode(shingles(F.col("text"), shingle_k)).alias("sh"))
+        .withColumn("h", _md5_i32(F.col("sh")))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
+                   shingle_k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, shingle_k)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.concat_ws(
+                    ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, [F.col("l.band") == F.col("r.band"),
+                          F.col("l.bucket") == F.col("r.bucket"),
+                          F.col("l.doc_id") < F.col("r.doc_id")])
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
+                        shingle_k: int = 3, num_hashes: int = 32,
+                        bands: int = 8) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard ≥ threshold, verified only on
+    LSH candidates (the scale path: no all-pairs join)."""
+    cands = lsh_candidates(documents, num_hashes, bands, shingle_k)
+    sh = documents.select(
+        "doc_id", shingles(F.col("text"), shingle_k).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        cands.join(a, cands.doc_a == F.col("a.doc_id"))
+        .join(b, cands.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("inter"),
+            F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).alias("uni"),
+        )
+    )
+    return (
+        joined.filter(F.col("uni") > 0)
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): sign-sum over token hashes, bit-by-bit.
+
+    Columnar formulation: explode tokens, for each bit position sum(±1)
+    depending on the token hash's bit, then reassemble the fingerprint.
+    ``bits=32`` keeps the per-doc aggregate list small; the fingerprint is
+    a non-negative bigint either way.
+    """
+    tok = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .withColumn("h", _md5_i64(F.col("tok")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 3,
+                       n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming,
+    blocked on simhash bit-bands (a pair within distance k must agree on at
+    least one of k+1 bands — pigeonhole), so no all-pairs join."""
+    assert n_bands >= max_hamming + 1, "need ≥ max_hamming+1 bands for recall"
+    band_bits = bits // n_bands
+    fp = simhash(documents, bits)
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright(F.col("simhash"), i * band_bits)
+                 .bitwiseAND(F.lit((1 << band_bits) - 1)))
+                for i in range(n_bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, [F.col("l.band") == F.col("r.band"),
+                   F.col("l.bucket") == F.col("r.bucket"),
+                   F.col("l.doc_id") < F.col("r.doc_id")])
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

