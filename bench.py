@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract — prints ONE JSON line).
+
+Measures the headline parse→enrich→route→aggregate pipeline plus the
+operator library over the ``$SPARK_GRAFT_SF_DIR`` tables (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Protocol:
+  * setup (untimed): derive the transcript table from ``events.parquet`` and
+    materialize it as parquet in a temp dir — the local stand-in for the
+    production Iceberg transcript table (BASELINE.json input_hint). File
+    count = 4× cores so every parallelism level has splittable input.
+  * one untimed warmup action absorbs JVM/codegen warmup.
+  * each query timed once, wall-clock, action = collect/count/write.
+  * headline metric: end-to-end seconds for the flagship pipeline chain;
+    ``turns_per_sec`` reported alongside (turns / flagship seconds).
+
+Scaling-evidence runs (BENCH/BASELINE.md): scripts/scaling_bench.py invokes
+this file at two parallelism levels with SPARK_GRAFT_BENCH_TURNS set to a
+fixed synthetic row count so both runs see identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from buildlogparser_spark.session import get_spark  # noqa: E402
+from buildlogparser_spark.datagen import gen_events_spark  # noqa: E402
+from buildlogparser_spark.transcripts import derive_transcripts  # noqa: E402
+from buildlogparser_spark.operators.classify import classify  # noqa: E402
+from buildlogparser_spark.operators import aggregate as agg  # noqa: E402
+from buildlogparser_spark.operators.assemble import (  # noqa: E402
+    assemble_compile_blocks, parse_stateful)
+from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
+from buildlogparser_spark.operators.route import route_writes  # noqa: E402
+from buildlogparser_spark.operators import dedup, similarity, textstats  # noqa: E402
+from buildlogparser_spark.rules.table import default_stack  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "0"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("blp-bench", cores=cores, shuffle_partitions=cores)
+    # splittable scan input at every parallelism level (tiny sf parquet is
+    # one row group — without this the CPU-bound classify runs on 1 task)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+
+    tmp = tempfile.mkdtemp(prefix="blp_bench_")
+    tr_path = os.path.join(tmp, "transcripts")
+    try:
+        # ---- setup (untimed): materialize the transcript table ----------
+        if bench_turns:
+            events = gen_events_spark(spark, bench_turns,
+                                      n_users=max(bench_turns // 64, 16))
+        else:
+            events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        derive_transcripts(events).repartition(cores * 4).write.parquet(tr_path)
+        transcripts = spark.read.parquet(tr_path)
+        n_turns = transcripts.count()
+        documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        # warmup: compile the classify codegen once, untimed
+        classify(transcripts.limit(1000)).count()
+
+        queries: dict[str, float] = {}
+
+        def timed(name: str, fn) -> None:
+            t0 = time.time()
+            fn()
+            queries[name] = round(time.time() - t0, 3)
+
+        diags = classify(transcripts)
+        # flagship: parse → classify → enrich → per-sink aggregate
+        timed("q1_flagship_pipeline", lambda: (
+            enrich(diags).groupBy("diag_class", "severity", "tool_family")
+            .agg(F.count("*").alias("n")).collect()))
+        timed("q2_severity_counts", lambda: agg.severity_counts(diags).collect())
+        timed("q3_errors_per_tool", lambda: agg.errors_per_tool(diags).collect())
+        timed("q4_warnings_per_conv",
+              lambda: agg.warnings_per_conversation(diags).count())
+        timed("q5_top_files", lambda: agg.top_files(diags).collect())
+        timed("q6_duration_histogram",
+              lambda: agg.duration_histogram(transcripts).collect())
+        timed("q7_assemble_window",
+              lambda: assemble_compile_blocks(transcripts).count())
+        timed("q8_parse_stateful",
+              lambda: parse_stateful(transcripts, default_stack).count())
+        # month buckets + small salt at sandbox sf: keeps dir count sane for
+        # tiny inputs; production keeps day granularity + 64 salt buckets
+        timed("q9_route_writes", lambda: route_writes(
+            diags, os.path.join(tmp, "sinks"), n_salt=4, ts_granularity="month"))
+        timed("q10_dedup_exact", lambda: dedup.dedup_exact(documents).count())
+        timed("q11_minhash_lsh", lambda: dedup.lsh_candidates(documents).count())
+        timed("q12_simhash", lambda: dedup.simhash(documents).count())
+        timed("q13_cosine_topk", lambda: similarity.cosine_topk(
+            embeddings, query_ids=[1, 2, 3, 4, 5], k=5).collect())
+        timed("q14_quality_score", lambda: textstats.quality_score(documents).count())
+
+        flagship = queries["q1_flagship_pipeline"]
+        total = round(sum(queries.values()), 3)
+        print(json.dumps({
+            "metric": "e2e_bench_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "cores": cores,
+            "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / flagship, 1) if flagship else None,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,16 +29,22 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_N_SALT = 64
 
 
-def with_sink_partitions(df: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:
-    """Materialize (ts_bucket, conv_bucket): day bucket + salted conv hash.
+def with_sink_partitions(df: DataFrame, n_salt: int = DEFAULT_N_SALT,
+                         ts_granularity: str = "day") -> DataFrame:
+    """Materialize (ts_bucket, conv_bucket): time bucket + salted conv hash.
 
     conv_bucket uses hash(conv_id, turn_idx) — including turn_idx is the
-    salt: a single hot conversation spreads across buckets. Aggregations
+    salt: a single hot conversation spreads over buckets. Aggregations
     that need conversation locality group on conv_id itself, not the bucket;
     the bucket exists for write fan-out and file sizing.
+
+    ``ts_granularity``: "day" (production default) or "month" — pick so a
+    bucket holds enough rows for healthy file sizes; at sandbox sf that
+    means month.
     """
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}[ts_granularity]
     return (
-        df.withColumn("ts_bucket", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        df.withColumn("ts_bucket", F.date_format(F.col("ts"), fmt))
         .withColumn("conv_bucket", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt)))
     )
 
@@ -58,15 +64,25 @@ def split_dead_letter(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def route_writes(diags: DataFrame, root: str, n_salt: int = DEFAULT_N_SALT,
-                 fmt: str = "parquet") -> dict[str, str]:
+                 fmt: str = "parquet", ts_granularity: str = "day") -> dict[str, str]:
     """Fan-out: one cached classify feeds all sinks (the reference's
     addOutput loop). Returns {sink_name: path}.
 
     Sinks (mirroring §2.6): per-severity sinks, per-diag-class sinks, an
     errors_only sink (TextOutput errorsOnly flag) and the full diagnostics
     sink. Each is partitioned by (ts_bucket, conv_bucket).
+
+    Write pattern: repartition on the sink partition columns BEFORE the
+    partitionBy write — otherwise every task holds rows of every output dir
+    and file count explodes to tasks × dirs (the classic partitioned-write
+    tiny-file storm; at 10^12 rows that is millions of 1 KB files). After
+    the repartition each output dir's rows live in one task → files ≈ dirs.
     """
-    diags = with_sink_partitions(diags, n_salt).cache()
+    diags = (
+        with_sink_partitions(diags, n_salt, ts_granularity)
+        .repartition("ts_bucket", "conv_bucket")
+        .cache()
+    )
     paths: dict[str, str] = {}
     try:
         targets: list[tuple[str, DataFrame]] = [("diagnostics", diags)]
