@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from buildlogparser_spark.transcripts import TRANSCRIPT_SQL, load_transcripts
 from buildlogparser_spark.operators.classify import classified_sql, classify
 from buildlogparser_spark.operators import aggregate as agg
+from buildlogparser_spark.operators import assemble as asm
+from buildlogparser_spark.operators import dedup as dd
+from buildlogparser_spark.operators import multimodal as mm
+from buildlogparser_spark.operators import route as rt
+from buildlogparser_spark.operators import similarity as sim
+from buildlogparser_spark.operators import textstats as ts
 from buildlogparser_spark.operators.enrich import enrich, enriched_sql
+from buildlogparser_spark.rules.table import default_stack
 
 # Diagnostics projection shared by Spark and DuckDB (no ts/related_messages:
 # timestamps hash differently across engines and related_messages is always
@@ -34,8 +41,19 @@ _DIAG_SELECT = (
 )
 
 
+_ANN_QUERY_IDS = [1, 2, 3, 4, 5]
+
+
 def _diags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify(load_transcripts(spark, sf_dir))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -71,6 +89,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enriched_class_counts": lambda spark, sf: enrich(_diags(spark, sf))
             .groupBy("diag_class", "tool_family", "default_severity")
             .agg(F.count("*").alias("n")),
+        # --- stateful / multi-line assembly (SURVEY.md §2.2) --------------
+        "compile_blocks": lambda spark, sf: asm.compile_blocks_flat(
+            load_transcripts(spark, sf)),
+        # exact consumeLine semantics via applyInPandas — genuinely
+        # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
+        # entry, driver records the rows-only check; pytest proves it equal
+        # to the oracle parser and to compile_blocks on single-rule stacks
+        "parse_stateful": lambda spark, sf: asm.parse_stateful(
+            load_transcripts(spark, sf), default_stack),
+        # --- routing (fan-out sink layout) --------------------------------
+        "routed_partitions": lambda spark, sf: rt.with_sink_partitions(
+            _diags(spark, sf), n_salt=16).select(
+            "conv_id", "turn_idx", "severity", "diag_class",
+            "ts_bucket", "conv_bucket"),
+        "dead_letter_split": lambda spark, sf: load_transcripts(spark, sf).agg(
+            F.sum(F.when(F.col("text").isNotNull(), 1).otherwise(0)).alias("n_good"),
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_dead")),
+        # --- deduplication (training-data ops) ----------------------------
+        "dedup_exact": lambda spark, sf: dd.dedup_exact(_docs(spark, sf)),
+        "minhash_signatures": lambda spark, sf: dd.minhash_signatures_flat(
+            _docs(spark, sf)),
+        "lsh_candidates": lambda spark, sf: dd.lsh_candidates(_docs(spark, sf)),
+        "ngram_jaccard_pairs": lambda spark, sf: dd.ngram_jaccard_pairs(
+            _docs(spark, sf)),
+        "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
+        "simhash_near_pairs": lambda spark, sf: dd.simhash_near_pairs(
+            _docs(spark, sf)),
+        # --- similarity search --------------------------------------------
+        "cosine_topk": lambda spark, sf: sim.cosine_topk(
+            _emb(spark, sf), _ANN_QUERY_IDS, k=5),
+        # approximate path: candidate set depends on Python-side hyperplane
+        # constants — rows-only check; recall vs cosine_topk asserted in pytest
+        "ann_lsh_topk": lambda spark, sf: sim.lsh_topk(
+            _emb(spark, sf), _ANN_QUERY_IDS, k=5, n_planes=4, n_tables=16),
+        # --- text analysis ------------------------------------------------
+        "lang_id": lambda spark, sf: ts.lang_id(_docs(spark, sf)),
+        "token_count": lambda spark, sf: ts.token_count(_docs(spark, sf)),
+        "quality_score": lambda spark, sf: ts.quality_score(_docs(spark, sf)),
+        "doc_fingerprint": lambda spark, sf: ts.fingerprint(_docs(spark, sf)),
+        "doc_language_profile": lambda spark, sf: ts.doc_language_profile(
+            _docs(spark, sf)),
+        # --- multimodal plumbing ------------------------------------------
+        "media_assets": lambda spark, sf: mm.synthetic_media(spark).select(
+            "asset_id", "media_type",
+            F.octet_length("blob").cast("long").alias("n_bytes"),
+            "width", "height", "duration_ms"),
+        "media_stats": lambda spark, sf: mm.media_stats(mm.synthetic_media(spark)),
+        "media_frame_samples": lambda spark, sf: mm.frame_sample_plan(
+            mm.synthetic_media(spark)).select(
+            "asset_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")),
+        # decode stub is Python-side (mapInPandas) — rows-only check
+        "media_features": lambda spark, sf: mm.extract_features(
+            mm.synthetic_media(spark)).select(
+            "asset_id", "media_type", "n_bytes",
+            F.concat_ws(",", F.transform("feature", lambda v: v.cast("string")))
+            .alias("feature_csv")),
     }
 
 
@@ -125,4 +199,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT diag_class, tool_family, default_severity, count(*) AS n FROM ("
             + enriched_sql(_DIAG_SELECT)
             + ") e GROUP BY diag_class, tool_family, default_severity"),
+        "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),
+        "routed_partitions": (
+            "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("
+            + rt.sink_partitions_sql(
+                "SELECT conv_id, turn_idx, ts, severity, diag_class FROM "
+                + d + " dg", n_salt=16)
+            + ") p"),
+        "dead_letter_split": (
+            "SELECT CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_good, "
+            "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dead "
+            "FROM (" + TRANSCRIPT_SQL + ") t"),
+        "dedup_exact": dd.dedup_exact_sql(),
+        "minhash_signatures": dd.minhash_signatures_flat_sql(),
+        "lsh_candidates": dd.lsh_candidates_sql(),
+        "ngram_jaccard_pairs": dd.ngram_jaccard_pairs_sql(),
+        "simhash": dd.simhash_sql(),
+        "simhash_near_pairs": dd.simhash_near_pairs_sql(),
+        "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
+        "lang_id": ts.lang_id_sql(),
+        "token_count": ts.token_count_sql(),
+        "quality_score": ts.quality_score_sql(),
+        "doc_fingerprint": ts.fingerprint_sql(),
+        "doc_language_profile": ts.doc_language_profile_sql(),
+        "media_assets": (
+            "SELECT asset_id, media_type, CAST(length(blob_str) AS BIGINT) AS n_bytes, "
+            "width, height, duration_ms FROM ("
+            + mm.synthetic_media_sql() + ") m"),
+        "media_stats": mm.media_stats_sql(),
+        "media_frame_samples": (
+            "SELECT asset_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms FROM ("
+            + mm.frame_sample_sql() + ") f"),
     }

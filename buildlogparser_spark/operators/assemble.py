@@ -200,3 +200,76 @@ def assemble_compile_blocks(transcripts: DataFrame, source: str = "compiler",
         header.alias("raw"),
         F.lit(None).cast("string").alias("build_target"),
     )
+
+
+def compile_blocks_flat(transcripts: DataFrame) -> DataFrame:
+    """assemble_compile_blocks projected to scalar columns (arrays stringify
+    differently across engines; the joined form value-hashes identically)."""
+    blocks = assemble_compile_blocks(transcripts)
+    return blocks.select(
+        "conv_id",
+        "start_turn_idx",
+        "file", "line", "column", "severity", "message",
+        F.size("related_messages").cast("long").alias("n_related"),
+        F.concat_ws("\n", "related_messages").alias("related_joined"),
+        "source", "category",
+    )
+
+
+def compile_blocks_sql(transcripts_cte: str) -> str:
+    """DuckDB twin of compile_blocks_flat over a transcripts CTE body."""
+    ce = "'" + COMPILE_ERROR_RE.replace("'", "''") + "'"
+    return f"""
+WITH transcripts AS (
+{transcripts_cte}
+), flags AS (
+  SELECT conv_id, turn_idx, text,
+    regexp_replace(text, '^[ \t]+|[ \t]+$', '', 'g') AS trimmed,
+    (contains(text, 'error:') OR contains(text, 'warning:'))
+      AND regexp_matches(text, {ce})
+      AND length(regexp_extract(text, {ce}, 3)) <= 18
+      AND length(regexp_extract(text, {ce}, 4)) <= 18 AS is_start,
+    contains(text, ':') AND (contains(text, 'error:') OR contains(text, 'warning:')) AS fastfail
+  FROM transcripts
+), flags2 AS (
+  SELECT *,
+    length(trimmed) = 0 OR starts_with(trimmed, 'SwiftCompile')
+      OR starts_with(trimmed, 'cd ') OR starts_with(trimmed, '** BUILD')
+      OR starts_with(trimmed, '---') AS is_term,
+    starts_with(trimmed, 'note:') OR starts_with(trimmed, '^') AS note_or_caret
+  FROM flags
+), flags3 AS (
+  SELECT *,
+    NOT is_start AND NOT is_term
+      AND (note_or_caret OR (NOT fastfail AND length(trimmed) > 0)) AS is_cont
+  FROM flags2
+), seg AS (
+  SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flags3
+), cl AS (
+  SELECT *, max(CASE WHEN NOT is_start AND is_term THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id, seg ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS closed
+  FROM seg WHERE seg > 0
+), agg AS (
+  SELECT conv_id, seg,
+    min_by(text, turn_idx) AS header,
+    CAST(min(turn_idx) AS INTEGER) AS start_turn_idx,
+    CAST(coalesce(count(*) FILTER (WHERE is_cont AND closed = 0), 0) AS BIGINT) AS n_related,
+    coalesce(string_agg(text, chr(10) ORDER BY turn_idx)
+               FILTER (WHERE is_cont AND closed = 0), '') AS related_joined
+  FROM cl GROUP BY conv_id, seg
+)
+SELECT conv_id, start_turn_idx,
+  regexp_extract(header, {ce}, 1) AS file,
+  CAST(regexp_extract(header, {ce}, 3) AS BIGINT) AS line,
+  CAST(regexp_extract(header, {ce}, 4) AS BIGINT) AS "column",
+  regexp_extract(header, {ce}, 5) AS severity,
+  regexp_extract(header, {ce}, 6) AS message,
+  n_related, related_joined,
+  'compiler' AS source,
+  regexp_extract(header, {ce}, 5) AS category
+FROM agg
+"""

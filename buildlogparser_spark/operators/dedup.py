@@ -223,6 +223,16 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
+def minhash_signatures_flat(documents: DataFrame, num_hashes: int = 32,
+                            shingle_k: int = 3) -> DataFrame:
+    """(doc_id, hash_idx, minhash) — the signature in long format (arrays
+    stringify differently across engines; the long format value-hashes
+    identically)."""
+    sig = minhash_signatures(documents, num_hashes, shingle_k)
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("hash_idx", "minhash"))
+
+
 def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 3,
                        n_bands: int = 4) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming,
@@ -256,3 +266,118 @@ def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (correctness oracles). Same md5-derived arithmetic as the
+# Spark path, so both engines compute identical hashes/signatures; the
+# per-hash coefficients are emitted as a VALUES table.
+# ---------------------------------------------------------------------------
+
+
+def _coeffs_values_sql(num_hashes: int) -> str:
+    vals = ", ".join(f"({i}, {a}, {b})"
+                     for i, (a, b) in enumerate(_minhash_coeffs(num_hashes)))
+    return f"(SELECT * FROM (VALUES {vals}) AS c(hash_idx, a, b))"
+
+
+def dedup_exact_sql(table: str = "documents") -> str:
+    return f"""
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM {table} GROUP BY 1
+"""
+
+
+def minhash_signatures_flat_sql(table: str = "documents", num_hashes: int = 32,
+                                shingle_k: int = 3) -> str:
+    sh = shingles_sql("text", shingle_k)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_md5_i32_sql('s.sh')} AS h
+  FROM (SELECT doc_id, unnest({sh}) AS sh FROM {table}) s
+)
+SELECT sh.doc_id, c.hash_idx, min((sh.h * c.a + c.b) % {MERSENNE_P}) AS minhash
+FROM sh CROSS JOIN {_coeffs_values_sql(num_hashes)} c
+GROUP BY sh.doc_id, c.hash_idx
+"""
+
+
+def _banded_sql(table: str, num_hashes: int, bands: int, shingle_k: int) -> str:
+    rows_per_band = num_hashes // bands
+    return f"""
+WITH flat AS ({minhash_signatures_flat_sql(table, num_hashes, shingle_k)}),
+sig AS (SELECT doc_id, list(minhash ORDER BY hash_idx) AS sig FROM flat GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(list_slice(sig, b.band * {rows_per_band} + 1,
+                                        b.band * {rows_per_band} + {rows_per_band}), ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+)
+SELECT * FROM banded
+"""
+
+
+def lsh_candidates_sql(table: str = "documents", num_hashes: int = 32,
+                       bands: int = 8, shingle_k: int = 3) -> str:
+    return f"""
+WITH banded AS ({_banded_sql(table, num_hashes, bands, shingle_k)})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5,
+                            shingle_k: int = 3, num_hashes: int = 32,
+                            bands: int = 8) -> str:
+    sh = shingles_sql("text", shingle_k)
+    return f"""
+WITH cands AS ({lsh_candidates_sql(table, num_hashes, bands, shingle_k)}),
+shs AS (SELECT doc_id, {sh} AS sh FROM {table}),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM cands c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM scored WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}
+"""
+
+
+def simhash_sql(table: str = "documents", bits: int = 32) -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_md5_i64_sql('t.tok')} AS h
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM {table}) t
+),
+bit_sums AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range(0, {bits})) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM bit_sums GROUP BY doc_id
+"""
+
+
+def simhash_near_pairs_sql(table: str = "documents", bits: int = 32,
+                           max_hamming: int = 3, n_bands: int = 4) -> str:
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH fp AS ({simhash_sql(table, bits)}),
+banded AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {band_bits})) & {mask} AS bucket
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS band) b
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""

@@ -78,7 +78,10 @@ def extract_features(media: DataFrame, strict: bool = False,
     """Decode/feature-extract via mapInPandas (Arrow-batched). The UDF sees
     an iterator of pandas batches — constant memory regardless of partition
     size; ``batch_rows`` caps the decoded working set."""
+    from ..shipping import ensure_shipped
+
     spark = media.sparkSession
+    ensure_shipped(spark)  # closure references module functions on workers
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,3 +114,52 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-media-type byte/duration roll-up (pure relational — oracled)."""
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.octet_length("blob")).alias("total_bytes"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins. synthetic_media is deterministic arithmetic on asset_id, so
+# the oracle re-derives the same table; the decode stub itself is Python-only
+# (extract_features gets the weaker rows-only check).
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media_sql(n: int = 64) -> str:
+    return f"""
+SELECT range AS asset_id,
+       CASE WHEN range % 3 = 0 THEN 'image/png'
+            WHEN range % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       'BLOB:' || CAST(range AS STRING) || ':' || repeat('ab', CAST(range % 7 + 1 AS INTEGER)) AS blob_str,
+       CAST(range % 64 * 16 + 16 AS INTEGER) AS width,
+       CAST(range % 48 * 16 + 16 AS INTEGER) AS height,
+       CAST(range * 40 % 10000 AS INTEGER) AS duration_ms
+FROM range({n})
+"""
+
+
+def media_stats_sql(n: int = 64) -> str:
+    return f"""
+SELECT media_type, count(*) AS n_assets,
+       CAST(sum(length(blob_str)) AS BIGINT) AS total_bytes,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+FROM ({synthetic_media_sql(n)}) m GROUP BY media_type
+"""
+
+
+def frame_sample_sql(n: int = 64, every_ms: int = 1000) -> str:
+    return f"""
+SELECT asset_id, unnest(generate_series(0, greatest(duration_ms - 1, 0), {every_ms})) AS frame_ts_ms
+FROM ({synthetic_media_sql(n)}) m WHERE media_type = 'video/mp4'
+"""

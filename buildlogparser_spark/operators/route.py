@@ -43,10 +43,30 @@ def with_sink_partitions(df: DataFrame, n_salt: int = DEFAULT_N_SALT,
     means month.
     """
     fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}[ts_granularity]
+    # portable md5-derived salt (not murmur3 F.hash): the bucket landing in
+    # the sink layout must be reproducible by any engine reading/auditing the
+    # sinks, and it lets the DuckDB oracle verify routed-row placement
+    salt_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))), 1, 15),
+        16, 10).cast("long")
     return (
         df.withColumn("ts_bucket", F.date_format(F.col("ts"), fmt))
-        .withColumn("conv_bucket", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt)))
+        .withColumn("conv_bucket", F.pmod(salt_hash, F.lit(n_salt)))
     )
+
+
+def sink_partitions_sql(select_body: str, n_salt: int = DEFAULT_N_SALT,
+                        ts_granularity: str = "day") -> str:
+    """DuckDB twin of with_sink_partitions over a SELECT producing at least
+    (conv_id, turn_idx, ts)."""
+    fmt = {"day": "%Y-%m-%d", "month": "%Y-%m"}[ts_granularity]
+    return f"""
+SELECT *,
+  strftime(ts, '{fmt}') AS ts_bucket,
+  CAST(('0x' || substr(md5(conv_id || ':' || CAST(turn_idx AS STRING)), 1, 15)) AS BIGINT)
+    % {n_salt} AS conv_bucket
+FROM ({select_body}) s
+"""
 
 
 def salt_repartition(df: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:

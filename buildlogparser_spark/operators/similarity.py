@@ -63,7 +63,11 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Data
             _dot(F.col("q_unit"), F.col("unit")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    # rank on sim rounded to 9 dp: sub-1e-9 float divergence (e.g. a future
+    # engine fusing the fold differently) must not flip neighbor order; ties
+    # break on neighbor_id in both engines
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -128,3 +132,43 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin (correctness oracle) for the exact brute-force path. The fold
+# order matches the Spark expressions exactly (left fold, double math), so
+# scores agree bit-for-bit; ranking uses the same round(sim, 9) + vec_id
+# tie-break.
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = ("list_reduce(list_transform(range(1, len({a}) + 1), "
+            "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+
+def cosine_topk_sql(query_ids: list[int], k: int = 5,
+                    table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    dot = _DOT_SQL.format(a="u.unit", b="q.q_unit")
+    return f"""
+WITH vec AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v FROM {table}
+),
+unitv AS (
+  SELECT vec_id,
+         CASE WHEN n > 0 THEN list_transform(v, x -> x / n) ELSE v END AS unit
+  FROM (SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+        FROM vec) t
+),
+q AS (SELECT vec_id AS query_id, unit AS q_unit FROM unitv WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, u.vec_id AS neighbor_id, {dot} AS sim
+  FROM unitv u CROSS JOIN q
+  WHERE u.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(sim, 4) AS cos_sim
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+      FROM scored) r
+WHERE rank <= {k}
+"""

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import tokens
+from .dedup import TOKENS_SQL, tokens
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
 # (A real deployment would load fastText lid.176 via a pandas UDF — the
@@ -96,6 +96,23 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_language_profile(documents: DataFrame) -> DataFrame:
+    """Corpus roll-up: docs/chars/mean quality per predicted language — the
+    aggregate a curation pipeline actually routes on."""
+    scored = quality_score(documents).select("doc_id", "quality")
+    langs = lang_id(documents).select("doc_id", "lang_pred")
+    chars = documents.select("doc_id", F.length("text").cast("long").alias("n_chars_text"))
+    return (
+        langs.join(scored, "doc_id").join(chars, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_text").alias("total_chars"),
+            F.round(F.avg("quality"), 4).alias("mean_quality"),
+        )
+    )
+
+
 def fingerprint(documents: DataFrame, window: int = 8) -> DataFrame:
     """(doc_id, fingerprint): winnowing-style document fingerprint — the
     minimum portable hash over all ``window``-token shingles (a 1-element
@@ -110,3 +127,100 @@ def fingerprint(documents: DataFrame, window: int = 8) -> DataFrame:
         F.when(F.size(hashes) > 0, F.array_min(hashes))
         .otherwise(_md5_i64(F.col("text"))).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (correctness oracles). Each mirrors the Spark function above
+# expression-for-expression; divergences would fail the driver's value-hash.
+# ---------------------------------------------------------------------------
+
+_TOKS = TOKENS_SQL.format(c="text")
+
+
+def _markers_sql(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, t -> list_contains([{lst}], t)))"
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    hits = ", ".join(f"{_markers_sql(lang)} AS h_{lang}" for lang in LANG_MARKERS)
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    # first-in-sorted-order wins ties — mirrors the strictly-greater fold in
+    # lang_id()
+    pick = " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+SELECT doc_id,
+       CASE WHEN m > 0 THEN (CASE {pick} ELSE '{langs[-1]}' END) ELSE 'und' END AS lang_pred,
+       CAST(m AS BIGINT) AS lang_score
+FROM (SELECT *, {m} AS m FROM (SELECT doc_id, {hits} FROM {table}) h) hm
+"""
+
+
+def token_count_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST((length(text) + 3) // 4 AS BIGINT) AS n_subwords_est
+FROM {table}
+"""
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {_TOKS} AS toks,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+  FROM {table}
+), ratios AS (
+  SELECT doc_id, n_chars, len(toks) AS n_toks, n_punct,
+         len(list_filter(toks, t -> list_contains([{stop}], t))) AS stop_hits,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars_text,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(CASE WHEN n_toks > 0 THEN CAST(stop_hits AS DOUBLE) / n_toks ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN n_toks < 5 THEN 0.0 ELSE
+             0.4 * least(n_toks / 100.0, 1.0)
+           + 0.3 * least((CAST(stop_hits AS DOUBLE) / n_toks) * 5, 1.0)
+           + 0.3 * (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
+         END, 4) AS quality
+FROM ratios
+"""
+
+
+def fingerprint_sql(table: str = "documents", window: int = 8) -> str:
+    from .dedup import shingles_sql, _md5_i64_sql
+
+    sh = shingles_sql("text", window)
+    return f"""
+SELECT doc_id,
+       CASE WHEN len(hs) > 0 THEN list_aggregate(hs, 'min')
+            ELSE {_md5_i64_sql('text')} END AS fingerprint
+FROM (SELECT doc_id, text,
+             list_transform({sh}, s -> {_md5_i64_sql('s')}) AS hs
+      FROM {table}) h
+"""
+
+
+def doc_language_profile_sql(table: str = "documents") -> str:
+    return f"""
+WITH l AS ({lang_id_sql(table)}), q AS ({quality_score_sql(table)})
+SELECT l.lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(q.n_chars_text) AS BIGINT) AS total_chars,
+       round(avg(q.quality), 4) AS mean_quality
+FROM l JOIN q ON l.doc_id = q.doc_id
+GROUP BY l.lang_pred
+"""

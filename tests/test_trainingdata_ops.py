@@ -1,0 +1,105 @@
+"""Tests for the training-data ops not fully covered by the SQL-oracle
+parity gate: approximate paths (LSH recall), Python-side plumbing
+(mapInPandas decode stub), and cross-operator invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from buildlogparser_spark.operators import dedup, multimodal as mm, similarity as sim
+from buildlogparser_spark.operators.assemble import parse_stateful
+from buildlogparser_spark.operators.classify import classify
+from buildlogparser_spark.rules.table import default_stack
+from buildlogparser_spark.transcripts import load_transcripts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_lsh_topk_recall(spark, emb):
+    """The approximate ANN path must recover a meaningful fraction of the
+    exact top-k on near-uniform random vectors (the hardest case for LSH —
+    real embedding clusters only improve this)."""
+    qids = [1, 2, 3, 4, 5]
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, qids, 5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in sim.lsh_topk(emb, qids, 5, n_planes=4, n_tables=16).collect()}
+    assert len(exact) == 25
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall {recall} too low"
+    # every approximate hit must be a real corpus vector, never the query
+    assert all(q != n for q, n in approx)
+
+
+def test_media_feature_plumbing(spark):
+    media = mm.synthetic_media(spark, n=64)
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 64
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic: same blob → same feature
+    again = {r.asset_id: r.feature for r in mm.extract_features(media).collect()}
+    assert all(again[r.asset_id] == r.feature for r in feats)
+
+
+def test_media_strict_stub_raises(spark):
+    media = mm.synthetic_media(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        mm.extract_features(media, strict=True).collect()
+
+
+def test_frame_sample_counts(spark):
+    media = mm.synthetic_media(spark, n=64)
+    out = mm.frame_sample_plan(media, every_ms=1000).groupBy("asset_id").count()
+    rows = {r.asset_id: r["count"] for r in out.collect()}
+    meta = {r.asset_id: r.duration_ms
+            for r in media.filter(F.col("media_type") == "video/mp4").collect()}
+    assert set(rows) == set(meta)
+    for aid, dur in meta.items():
+        assert rows[aid] == max(dur - 1, 0) // 1000 + 1
+
+
+def test_stateful_equals_stateless_on_default_stack(spark):
+    """With the default CLI stack the consumeLine machine degenerates to a
+    stateless per-line classifier (SwiftBuildRule.isEnd defaults true —
+    SwiftBuildRule.swift:52), so the applyInPandas general path must emit
+    exactly the classify cascade's rows."""
+    tr = load_transcripts(spark, SF_SMOKE)
+    key_cols = ["conv_id", "turn_idx", "severity", "category", "message"]
+    stateless = classify(tr).select(*key_cols)
+    stateful = parse_stateful(tr, default_stack).select(
+        "conv_id", F.col("start_turn_idx").alias("turn_idx"),
+        "severity", "category", "message")
+    assert stateless.exceptAll(stateful).count() == 0
+    assert stateful.exceptAll(stateless).count() == 0
+
+
+def test_dedup_exact_partition_invariance(spark, docs):
+    total = docs.count()
+    groups = dedup.dedup_exact(docs)
+    assert groups.agg(F.sum("n_docs")).collect()[0][0] == total
+    # identical result at different parallelism (the Spark analog of the
+    # reference's multi-input consistency test)
+    re32 = dedup.dedup_exact(docs.repartition(32))
+    assert groups.exceptAll(re32).count() == 0
+
+
+def test_duplicate_docs_have_jaccard_one(spark, docs):
+    """Appending an exact copy of a doc must produce a candidate pair with
+    jaccard 1.0 through the full MinHash→LSH→verify pipeline."""
+    base = docs.limit(1).select("doc_id", "text")
+    clone = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = base.unionByName(clone)
+    pairs = dedup.ngram_jaccard_pairs(both, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert pairs[0].jaccard == 1.0
