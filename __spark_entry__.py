@@ -20,6 +20,7 @@ from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
 from buildlogparser_spark.operators import dedup as dd
 from buildlogparser_spark.operators import multimodal as mm
+from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import route as rt
 from buildlogparser_spark.operators import similarity as sim
 from buildlogparser_spark.operators import textstats as ts
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enriched_class_counts": lambda spark, sf: enrich(_diags(spark, sf))
             .groupBy("diag_class", "tool_family", "default_severity")
             .agg(F.count("*").alias("n")),
+        "text_render": lambda spark, sf: rnd.render_text(_diags(spark, sf)),
+        "json_projection": lambda spark, sf: rnd.json_projection(_diags(spark, sf)),
         # --- stateful / multi-line assembly (SURVEY.md §2.2) --------------
         "compile_blocks": lambda spark, sf: asm.compile_blocks_flat(
             load_transcripts(spark, sf)),
@@ -199,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT diag_class, tool_family, default_severity, count(*) AS n FROM ("
             + enriched_sql(_DIAG_SELECT)
             + ") e GROUP BY diag_class, tool_family, default_severity"),
+        "text_render": rnd.render_text_sql(_DIAG_SELECT),
+        "json_projection": rnd.json_projection_sql(_DIAG_SELECT),
         "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),
         "routed_partitions": (
             "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("

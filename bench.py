@@ -60,12 +60,17 @@ def main() -> None:
     tr_path = os.path.join(tmp, "transcripts")
     try:
         # ---- setup (untimed): materialize the transcript table ----------
-        if bench_turns:
-            events = gen_events_spark(spark, bench_turns,
-                                      n_users=max(bench_turns // 64, 16))
+        pre_materialized = os.environ.get("SPARK_GRAFT_BENCH_INPUT")
+        if pre_materialized:
+            # scaling runs share one generated table across parallelism levels
+            tr_path = pre_materialized
         else:
-            events = spark.read.parquet(f"{sf_dir}/events.parquet")
-        derive_transcripts(events).repartition(cores * 4).write.parquet(tr_path)
+            if bench_turns:
+                events = gen_events_spark(spark, bench_turns,
+                                          n_users=max(bench_turns // 64, 16))
+            else:
+                events = spark.read.parquet(f"{sf_dir}/events.parquet")
+            derive_transcripts(events).repartition(cores * 4).write.parquet(tr_path)
         transcripts = spark.read.parquet(tr_path)
         n_turns = transcripts.count()
         documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -75,11 +80,22 @@ def main() -> None:
         classify(transcripts.limit(1000)).count()
 
         queries: dict[str, float] = {}
+        only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q}
+        # reps>1 → steady-state timing (min of reps): first execution of a
+        # plan shape pays JVM JIT + whole-stage-codegen compilation (~5s
+        # fixed), which at sandbox scale swamps the actual work; production
+        # jobs amortize it over hours. Every action is idempotent.
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
 
         def timed(name: str, fn) -> None:
-            t0 = time.time()
-            fn()
-            queries[name] = round(time.time() - t0, 3)
+            if only and name.split("_")[0] not in only and name not in only:
+                return
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            queries[name] = round(best, 3)
 
         diags = classify(transcripts)
         # flagship: parse → classify → enrich → per-sink aggregate
@@ -108,7 +124,7 @@ def main() -> None:
             embeddings, query_ids=[1, 2, 3, 4, 5], k=5).collect())
         timed("q14_quality_score", lambda: textstats.quality_score(documents).count())
 
-        flagship = queries["q1_flagship_pipeline"]
+        flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
         print(json.dumps({
             "metric": "e2e_bench_sec",

@@ -1,0 +1,6 @@
+from .pipeline import (  # noqa: F401
+    stream_transcripts,
+    stream_classify,
+    windowed_severity_counts,
+    stream_route,
+)

@@ -1,0 +1,77 @@
+"""Checkpoint/resume + observe-metrics tests (M6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from buildlogparser_spark.checkpoint import Manifest, route_writes_resumable
+from buildlogparser_spark.metrics import StageMetrics
+from buildlogparser_spark.operators.classify import classify
+from buildlogparser_spark.operators.enrich import enrich
+from buildlogparser_spark.transcripts import load_transcripts
+
+
+@pytest.fixture()
+def diags(spark):
+    return classify(load_transcripts(spark, SF_SMOKE))
+
+
+def test_stage_metrics_row_counts(spark, diags):
+    mx = StageMetrics()
+    d = mx.observe(diags, "classify")
+    e = mx.observe(enrich(d), "enrich")
+    n = e.count()
+    rep = mx.report()
+    assert rep["classify"]["rows"] == n
+    assert rep["enrich"]["rows"] == n
+
+
+def test_route_resumable_full_and_skip(spark, diags, tmp_path):
+    root = str(tmp_path / "sinks")
+    res1 = route_writes_resumable(diags, root, n_salt=4, ts_granularity="month")
+    assert not any(r["skipped"] for r in res1.values())
+    total = diags.count()
+    assert res1["diagnostics"]["rows"] == total
+    sev_sum = sum(res1[f"severity={s}"]["rows"]
+                  for s in ("error", "warning", "info", "note"))
+    assert sev_sum == total
+    # routed-row equality: re-read the diagnostics sink, same rows
+    back = spark.read.parquet(res1["diagnostics"]["path"])
+    assert back.count() == total
+    key = ["conv_id", "turn_idx", "severity", "category"]
+    assert diags.select(*key).exceptAll(back.select(*key)).count() == 0
+
+    # second run: everything skipped, nothing rewritten
+    res2 = route_writes_resumable(diags, root, n_salt=4, ts_granularity="month")
+    assert all(r["skipped"] for r in res2.values())
+    assert res2["diagnostics"]["rows"] == total
+
+
+def test_route_resume_after_partial_failure(spark, diags, tmp_path):
+    """Simulate a mid-job crash: pre-mark 3 sinks done, run, verify only the
+    remaining units execute and the manifest converges to all-done."""
+    root = str(tmp_path / "sinks")
+    m = Manifest(root)
+    for unit in ("diagnostics", "severity=error", "class=warning"):
+        m.mark_done("route", unit, rows=-42, secs=0.0)
+    res = route_writes_resumable(diags, root, n_salt=4, ts_granularity="month")
+    assert res["diagnostics"]["skipped"] and res["diagnostics"]["rows"] == -42
+    assert res["severity=error"]["skipped"]
+    assert not res["severity=warning"]["skipped"]
+    m2 = Manifest(root)
+    assert len(m2.records()) == len(res)
+
+
+def test_dead_letter_routing(spark):
+    from buildlogparser_spark.operators.route import split_dead_letter
+
+    tr = load_transcripts(spark, SF_SMOKE)
+    corrupted = tr.withColumn(
+        "text", F.when(F.col("turn_idx") % 97 == 3, F.lit(None)).otherwise(F.col("text")))
+    good, dead = split_dead_letter(corrupted)
+    assert good.count() + dead.count() == tr.count()
+    assert dead.filter(F.col("text").isNotNull()).count() == 0
+    assert dead.count() > 0

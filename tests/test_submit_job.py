@@ -1,0 +1,55 @@
+"""End-to-end spark-submit --py-files test: the job must run from a clean
+cwd with the package shipped ONLY via the zip (the cluster deployment path
+of BASELINE.json's north_rule)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import REPO, SF_SMOKE
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_pipeline(spark, tmp_path):
+    from buildlogparser_spark.shipping import package_zip
+    from buildlogparser_spark.operators.classify import classify
+    from buildlogparser_spark.transcripts import load_transcripts
+
+    tr_path = str(tmp_path / "transcripts")
+    load_transcripts(spark, SF_SMOKE).repartition(4).write.parquet(tr_path)
+    out_root = str(tmp_path / "sinks")
+    zip_path = package_zip(str(tmp_path))
+
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         str(REPO / "jobs" / "run_pipeline.py"),
+         "--input", tr_path, "--output", out_root,
+         "--n-salt", "4", "--ts-granularity", "month"],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["mode"] == "batch"
+
+    batch = classify(load_transcripts(spark, SF_SMOKE))
+    total = batch.count()
+    assert report["sinks"]["diagnostics"]["rows"] == total
+    assert report["stages"]["classify_enrich"]["rows"] == total
+
+    back = spark.read.parquet(f"{out_root}/diagnostics")
+    assert back.count() == total
+    errors = spark.read.parquet(f"{out_root}/severity=error")
+    assert errors.count() == batch.filter(F.col("severity") == "error").count()
+    # aggregate metadata present and readable
+    agg_df = spark.read.json(f"{out_root}/aggregates/severity_counts")
+    row = agg_df.collect()[0]
+    assert row.total_count == total
