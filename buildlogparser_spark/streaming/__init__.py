@@ -4,3 +4,4 @@ from .pipeline import (  # noqa: F401
     windowed_severity_counts,
     stream_route,
 )
+from .stateful import stream_parse_stateful  # noqa: F401

@@ -1,0 +1,86 @@
+"""applyInPandasWithState streaming assembly: diagnostics spanning
+micro-batches must equal the batch oracle, with in-flight state carried in
+the state store between availableNow runs (the checkpoint persists it), and
+end-of-conversation flushed by an explicit EOF sentinel — the streaming
+twin of the reference's finish() call."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from buildlogparser_spark.datagen import gen_conversations
+from buildlogparser_spark.oracle import parse_lines_with_turns
+from buildlogparser_spark.rules.table import test_stack as ref_test_stack
+from buildlogparser_spark.streaming.stateful import (
+    DEFAULT_EOF_MARKER, stream_parse_stateful)
+
+SEED, N_CONVS = 4242, 8
+SCHEMA = "conv_id string, turn_idx int, text string"
+
+
+def _corpus():
+    convs: dict[str, list[str]] = {}
+    for conv_id, _i, _r, text, _tl, _ts in gen_conversations(SEED, N_CONVS):
+        convs.setdefault(conv_id, []).append(text)
+    return convs
+
+
+def _expected(convs) -> Counter:
+    exp: Counter = Counter()
+    for conv_id, lines in convs.items():
+        for t, d in parse_lines_with_turns(
+                lines, list(range(len(lines))), ref_test_stack()):
+            exp[(conv_id, t, d.category, d.message,
+                 tuple(d.related_messages))] += 1
+    return exp
+
+
+def test_stateful_stream_across_batches(spark, tmp_path):
+    """Three availableNow runs over one growing directory + one checkpoint:
+    run 2 resumes per-conversation parser state from the state store, so
+    blocks whose header arrived in run 1 and whose continuations arrive in
+    run 2 still assemble; run 3 delivers EOF sentinels that flush trailing
+    in-flight diagnostics (finish())."""
+    convs = _corpus()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = [(c, i, t) for c, ls in convs.items()
+             for i, t in enumerate(ls) if i < len(ls) // 2]
+    half2 = [(c, i, t) for c, ls in convs.items()
+             for i, t in enumerate(ls) if i >= len(ls) // 2]
+    eofs = [(c, len(ls), DEFAULT_EOF_MARKER) for c, ls in convs.items()]
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (stream_parse_stateful(stream, ref_test_stack)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write(half1)
+    run_once()
+    n_after_1 = spark.read.parquet(out_dir).count()
+
+    write(half2)
+    run_once()
+    write(eofs)
+    run_once()
+
+    got: Counter = Counter()
+    for r in spark.read.parquet(out_dir).collect():
+        got[(r.conv_id, r.start_turn_idx, r.category, r.message,
+             tuple(r.related_messages))] += 1
+    exp = _expected(convs)
+    missing, extra = exp - got, got - exp
+    assert not missing and not extra, (
+        f"after1={n_after_1}\nmissing={list(missing.items())[:3]}\n"
+        f"extra={list(extra.items())[:3]}")
+    total = sum(exp.values())
+    assert 0 < n_after_1 < total  # output really spanned batches
