@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- stateful / multi-line assembly (SURVEY.md §2.2) --------------
         "compile_blocks": lambda spark, sf: asm.compile_blocks_flat(
             load_transcripts(spark, sf)),
+        # skew-proof chunked formulation — same semantics, same oracle SQL
+        "compile_blocks_chunked": lambda spark, sf: asm.compile_blocks_flat(
+            load_transcripts(spark, sf),
+            impl=lambda tr: asm.assemble_compile_blocks_chunked(tr, chunk_size=64)),
         # exact consumeLine semantics via applyInPandas — genuinely
         # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
         # entry, driver records the rows-only check; pytest proves it equal
@@ -205,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "text_render": rnd.render_text_sql(_DIAG_SELECT),
         "json_projection": rnd.json_projection_sql(_DIAG_SELECT),
         "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),
+        "compile_blocks_chunked": asm.compile_blocks_sql(TRANSCRIPT_SQL),
         "routed_partitions": (
             "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("
             + rt.sink_partitions_sql(

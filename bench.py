@@ -38,7 +38,7 @@ from buildlogparser_spark.transcripts import derive_transcripts  # noqa: E402
 from buildlogparser_spark.operators.classify import classify  # noqa: E402
 from buildlogparser_spark.operators import aggregate as agg  # noqa: E402
 from buildlogparser_spark.operators.assemble import (  # noqa: E402
-    assemble_compile_blocks, parse_stateful)
+    assemble_compile_blocks, assemble_compile_blocks_chunked, parse_stateful)
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import dedup, similarity, textstats  # noqa: E402
@@ -111,6 +111,8 @@ def main() -> None:
               lambda: agg.duration_histogram(transcripts).collect())
         timed("q7_assemble_window",
               lambda: assemble_compile_blocks(transcripts).count())
+        timed("q7b_assemble_chunked",
+              lambda: assemble_compile_blocks_chunked(transcripts).count())
         timed("q8_parse_stateful",
               lambda: parse_stateful(transcripts, default_stack).count())
         # month buckets + small salt at sandbox sf: keeps dir count sane for

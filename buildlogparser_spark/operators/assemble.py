@@ -202,10 +202,11 @@ def assemble_compile_blocks(transcripts: DataFrame, source: str = "compiler",
     )
 
 
-def compile_blocks_flat(transcripts: DataFrame) -> DataFrame:
+def compile_blocks_flat(transcripts: DataFrame, impl=None) -> DataFrame:
     """assemble_compile_blocks projected to scalar columns (arrays stringify
-    differently across engines; the joined form value-hashes identically)."""
-    blocks = assemble_compile_blocks(transcripts)
+    differently across engines; the joined form value-hashes identically).
+    ``impl`` selects the assembly implementation (default: windowed)."""
+    blocks = (impl or assemble_compile_blocks)(transcripts)
     return blocks.select(
         "conv_id",
         "start_turn_idx",
@@ -273,3 +274,111 @@ SELECT conv_id, start_turn_idx,
   regexp_extract(header, {ce}, 5) AS category
 FROM agg
 """
+
+
+def assemble_compile_blocks_chunked(transcripts: DataFrame,
+                                    chunk_size: int = 65536) -> DataFrame:
+    """Skew-proof compile-block assembly (SURVEY.md §7 hard-part 5).
+
+    :func:`assemble_compile_blocks` computes segment ids with a window over
+    the WHOLE conversation — one sort task per conversation, so a single
+    hot conversation with millions of turns serializes. This variant makes
+    the running count of starts scalable the classic prefix-sum way:
+
+      1. per (conv_id, chunk = turn_idx // chunk_size): LOCAL window —
+         parallelism = conversations × chunks, each sorting ≤ chunk_size
+         rows;
+      2. per-conversation prefix sum of per-chunk start counts — a window
+         over #chunks rows (a 10^7-turn conversation is ~150 rows here);
+      3. join the chunk offsets back (shuffle on (conv, chunk)) →
+         global segment id = local running count + chunk offset;
+      4. ONE hash aggregate per (conv, segment): the 'closed' flag needs no
+         second window — a continuation belongs to the block iff its
+         turn_idx precedes the segment's first non-start terminator, which
+         is a conditional min inside the same aggregate.
+
+    Output schema == STATEFUL_SCHEMA; differential-tested equal to
+    assemble_compile_blocks and the oracle.
+    """
+    T = F.col("text")
+    trimmed = F.regexp_replace(T, r"^[ \t]+|[ \t]+$", "")
+    is_start = (
+        (T.contains("error:") | T.contains("warning:"))
+        & T.rlike(COMPILE_ERROR_RE)
+        & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 3)) <= 18)
+        & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 4)) <= 18)
+    )
+    is_term = (
+        (F.length(trimmed) == 0)
+        | trimmed.startswith("SwiftCompile")
+        | trimmed.startswith("cd ")
+        | trimmed.startswith("** BUILD")
+        | trimmed.startswith("---")
+    )
+    note_or_caret = trimmed.startswith("note:") | trimmed.startswith("^")
+    fastfail = T.contains(":") & (T.contains("error:") | T.contains("warning:"))
+    is_cont = ~is_start & ~is_term & (
+        note_or_caret | (~fastfail & (F.length(trimmed) > 0)))
+
+    df = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .withColumn("chunk", F.floor(F.col("turn_idx") / chunk_size))
+        .withColumn("is_start", is_start)
+        .withColumn("is_term", is_term)
+        .withColumn("is_cont", is_cont)
+    )
+    w_local = (
+        Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn("local_seg", F.sum(F.col("is_start").cast("long")).over(w_local))
+
+    per_chunk = df.groupBy("conv_id", "chunk").agg(
+        F.sum(F.col("is_start").cast("long")).alias("n_starts"))
+    w_chunks = (
+        Window.partitionBy("conv_id").orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_chunk.withColumn(
+        "seg_offset", F.coalesce(F.sum("n_starts").over(w_chunks), F.lit(0)))
+
+    df = (
+        df.join(offsets.select("conv_id", "chunk", "seg_offset"),
+                ["conv_id", "chunk"])
+        .withColumn("seg", F.col("local_seg") + F.col("seg_offset"))
+        .filter(F.col("seg") > 0)
+    )
+
+    agg = (
+        df.groupBy("conv_id", "seg")
+        .agg(
+            F.min_by(F.struct("turn_idx", "text"), "turn_idx").alias("start"),
+            F.min(F.when(F.col("is_term") & ~F.col("is_start"),
+                         F.col("turn_idx"))).alias("first_term"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_cont"), F.struct("turn_idx", "text"))
+                )
+            ).alias("conts"),
+        )
+    )
+    header = F.col("start.text")
+    cutoff = F.coalesce(F.col("first_term"), F.lit((1 << 62)))
+    related = F.transform(
+        F.filter(F.col("conts"), lambda s: s["turn_idx"] < cutoff),
+        lambda s: s["text"])
+    sev = F.regexp_extract(header, COMPILE_ERROR_RE, 5)
+    return agg.select(
+        "conv_id",
+        F.col("start.turn_idx").alias("start_turn_idx"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 1).alias("file"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 3).cast("long").alias("line"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 4).cast("long").alias("column"),
+        sev.alias("severity"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 6).alias("message"),
+        related.alias("related_messages"),
+        F.lit("compiler").alias("source"),
+        sev.alias("category"),
+        header.alias("raw"),
+        F.lit(None).cast("string").alias("build_target"),
+    )

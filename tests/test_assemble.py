@@ -8,7 +8,8 @@ from collections import Counter
 
 from buildlogparser_spark.datagen import conversations_df, gen_conversations
 from buildlogparser_spark.oracle import parse_lines_with_turns
-from buildlogparser_spark.operators.assemble import assemble_compile_blocks, parse_stateful
+from buildlogparser_spark.operators.assemble import (
+    assemble_compile_blocks, assemble_compile_blocks_chunked, parse_stateful)
 from buildlogparser_spark.rules.table import CompileErrorRule, default_stack
 from buildlogparser_spark.rules.table import test_stack as _ref_test_stack
 
@@ -62,6 +63,22 @@ def test_assemble_compile_blocks_matches_oracle(spark):
     df = conversations_df(spark, SEED, N_CONVS)
     got = _got(assemble_compile_blocks(df))
     _assert_equal(_expected(lambda: [CompileErrorRule()]), got)
+
+
+def test_chunked_assembly_matches_oracle(spark):
+    """The skew-proof chunked formulation must equal the oracle — with a
+    chunk size small enough (7) that every block straddles chunk
+    boundaries, exercising the prefix-sum offset merge."""
+    df = conversations_df(spark, SEED, N_CONVS)
+    got = _got(assemble_compile_blocks_chunked(df, chunk_size=7))
+    _assert_equal(_expected(lambda: [CompileErrorRule()]), got)
+
+
+def test_chunked_equals_windowed(spark):
+    df = conversations_df(spark, SEED + 1, N_CONVS)
+    a = _got(assemble_compile_blocks(df))
+    b = _got(assemble_compile_blocks_chunked(df, chunk_size=16))
+    assert a == b
 
 
 def test_partition_count_invariance(spark):
