@@ -83,6 +83,24 @@ def split_dead_letter(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, dead
 
 
+def decode_text(raw: DataFrame, blob_col: str = "text_bytes",
+                out_col: str = "text") -> DataFrame:
+    """UTF-8 decode a binary line column, routing malformed rows instead of
+    failing the job — the reference raises ``DiagnosticError.invalidEncoding``
+    on non-UTF-8 input (BuildLogParser.swift:65-67, 258-262); at 10^12 rows
+    a single bad blob must not kill the pass, so the Spark translation is:
+    decode leniently, null out rows whose bytes do not round-trip, and let
+    :func:`split_dead_letter` carry them to the dead-letter sink.
+
+    Under ANSI mode (Spark 4 default) ``decode`` THROWS on malformed bytes,
+    so validity is checked first with ``is_valid_utf8`` (Spark 4) and only
+    valid rows are cast. Pure JVM expressions — no UDF.
+    """
+    ok = F.is_valid_utf8(F.col(blob_col))
+    return raw.withColumn(
+        out_col, F.when(ok, F.col(blob_col).cast("string")))
+
+
 def route_writes(diags: DataFrame, root: str, n_salt: int = DEFAULT_N_SALT,
                  fmt: str = "parquet", ts_granularity: str = "day") -> dict[str, str]:
     """Fan-out: one cached classify feeds all sinks (the reference's

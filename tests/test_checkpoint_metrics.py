@@ -65,6 +65,25 @@ def test_route_resume_after_partial_failure(spark, diags, tmp_path):
     assert len(m2.records()) == len(res)
 
 
+def test_decode_text_invalid_utf8_dead_letters(spark):
+    """The reference raises invalidEncoding on bad bytes
+    (BuildLogParser.swift:65-67); our pipeline routes the row aside."""
+    from buildlogparser_spark.operators.route import decode_text, split_dead_letter
+
+    rows = [
+        (1, bytearray("plain ascii".encode())),
+        (2, bytearray("snowman ☃ utf8".encode())),
+        (3, bytearray(b"\xff\xfe broken")),        # invalid UTF-8
+        (4, bytearray(b"trunc \xe2\x98")),          # truncated multibyte
+    ]
+    df = spark.createDataFrame(rows, "id int, text_bytes binary")
+    decoded = decode_text(df)
+    good, dead = split_dead_letter(decoded)
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert {r.id for r in dead.collect()} == {3, 4}
+    assert good.filter(F.col("id") == 2).collect()[0].text == "snowman ☃ utf8"
+
+
 def test_dead_letter_routing(spark):
     from buildlogparser_spark.operators.route import split_dead_letter
 
