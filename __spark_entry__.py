@@ -130,6 +130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # constants — rows-only check; recall vs cosine_topk asserted in pytest
         "ann_lsh_topk": lambda spark, sf: sim.lsh_topk(
             _emb(spark, sf), _ANN_QUERY_IDS, k=5, n_planes=4, n_tables=16),
+        "embedding_near_dup": lambda spark, sf: sim.embedding_near_dup(
+            _emb(spark, sf), threshold=0.4),
+        # LSH-blocked variant — approximate, rows-only; recall tested in pytest
+        "embedding_near_dup_lsh": lambda spark, sf: sim.embedding_near_dup_lsh(
+            _emb(spark, sf), threshold=0.4),
         # --- text analysis ------------------------------------------------
         "lang_id": lambda spark, sf: ts.lang_id(_docs(spark, sf)),
         "token_count": lambda spark, sf: ts.token_count(_docs(spark, sf)),
@@ -227,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dd.simhash_sql(),
         "simhash_near_pairs": dd.simhash_near_pairs_sql(),
         "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
+        "embedding_near_dup": sim.embedding_near_dup_sql(threshold=0.4),
         "lang_id": ts.lang_id_sql(),
         "token_count": ts.token_count_sql(),
         "quality_score": ts.quality_score_sql(),

@@ -172,3 +172,74 @@ FROM (SELECT *, row_number() OVER (
       FROM scored) r
 WHERE rank <= {k}
 """
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs baseline
+    (vec_a < vec_b, cosine ≥ threshold). The verification/recall path; at
+    corpus scale use :func:`embedding_near_dup_lsh`."""
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    a, b = base.alias("a"), base.alias("b")
+    sim = _dot(F.col("a.unit"), F.col("b.unit"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(sim, 9).alias("sim9"))
+        .filter(F.col("sim9") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim9", 4).alias("cos_sim"))
+    )
+
+
+def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.4,
+                           n_planes: int = 4, n_tables: int = 8,
+                           dim: int = 64) -> DataFrame:
+    """Scale path: random-hyperplane LSH blocks candidates (same-bucket in
+    any table), exact cosine verifies — never an all-pairs join.
+    Approximate: may miss pairs whose vectors disagree in every table."""
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    banded = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        part = base.select(
+            "vec_id", "unit", F.lit(t).alias("tbl"),
+            lsh_bucket(F.col("unit"), planes).alias("bucket"))
+        banded = part if banded is None else banded.unionByName(part)
+    banded = banded.cache()  # self-join computes each side otherwise
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(r, [F.col("l.tbl") == F.col("r.tbl"),
+                   F.col("l.bucket") == F.col("r.bucket"),
+                   F.col("l.vec_id") < F.col("r.vec_id")])
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"),
+                F.col("l.unit").alias("ua"), F.col("r.unit").alias("ub"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = _dot(F.col("ua"), F.col("ub"))
+    return (
+        cands.select("vec_a", "vec_b", F.round(sim, 9).alias("sim9"))
+        .filter(F.col("sim9") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim9", 4).alias("cos_sim"))
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.4,
+                           table: str = "embeddings") -> str:
+    """DuckDB twin of the exact all-pairs path."""
+    dot = _DOT_SQL.format(a="a.unit", b="b.unit")
+    return f"""
+WITH vec AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v FROM {table}
+),
+unitv AS (
+  SELECT vec_id,
+         CASE WHEN n > 0 THEN list_transform(v, x -> x / n) ELSE v END AS unit
+  FROM (SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+        FROM vec) t
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(round({dot}, 9), 4) AS cos_sim
+FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+WHERE round({dot}, 9) >= {threshold}
+"""

@@ -94,6 +94,20 @@ def test_dedup_exact_partition_invariance(spark, docs):
     assert groups.exceptAll(re32).count() == 0
 
 
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    """The LSH-blocked near-dup path must recover most true pairs at the
+    0.4-cosine threshold (high-similarity pairs collide with high
+    probability by construction)."""
+    exact = {(r.vec_a, r.vec_b)
+             for r in sim.embedding_near_dup(emb, 0.4).collect()}
+    approx = {(r.vec_a, r.vec_b)
+              for r in sim.embedding_near_dup_lsh(emb, 0.4).collect()}
+    assert exact, "threshold too high — no true pairs at this sf"
+    assert approx <= exact          # verification never admits false pairs
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"near-dup LSH recall {recall} too low"
+
+
 def test_duplicate_docs_have_jaccard_one(spark, docs):
     """Appending an exact copy of a doc must produce a candidate pair with
     jaccard 1.0 through the full MinHash→LSH→verify pipeline."""
