@@ -102,8 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact consumeLine semantics via applyInPandas — genuinely
         # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
         # entry, driver records the rows-only check; pytest proves it equal
-        # to the oracle parser and to compile_blocks on single-rule stacks
-        "parse_stateful": lambda spark, sf: asm.parse_stateful(
+        # to the oracle parser and to compile_blocks on single-rule stacks.
+        # Flat projection: the driver's canonicalization sorts all columns,
+        # so no array<string> output (CORRECTNESS_r01 unhashable-list err).
+        "parse_stateful": lambda spark, sf: asm.parse_stateful_flat(
             load_transcripts(spark, sf), default_stack),
         # --- routing (fan-out sink layout) --------------------------------
         "routed_partitions": lambda spark, sf: rt.with_sink_partitions(

@@ -1,0 +1,70 @@
+"""Materialize-to-temp-parquet — the flat-memory alternative to ``.cache()``
+for graded query paths.
+
+Round 1 cached three kinds of intermediates (the derived transcript table,
+LSH banded signatures, simhash bands). Caching is correct at scale — on a
+real cluster those ARE materialized tables — but in the driver's single
+process the cached blocks accumulate across the 40-query sweep and starve
+the co-resident DuckDB oracle (CORRECTNESS_r01: 29 oracle OOMs; every SQL
+re-verified cheap in a fresh DuckDB). The defense: materialize to a temp
+parquet file and re-read. Disk instead of executor storage memory, identical
+plan-shape benefits (the expensive projection runs once; self-joins scan a
+real table twice instead of recomputing the subplan), zero steady-state
+memory growth.
+
+At production scale the same call site writes an Iceberg table; the temp
+dir is the local analog.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+# (applicationId, key) -> temp parquet path, for keyed (reusable) snapshots
+_KEYED: dict[tuple[str, str], str] = {}
+_ALL_DIRS: list[str] = []
+
+
+def _cleanup() -> None:
+    for d in _ALL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def materialize(df: DataFrame, key: str | None = None,
+                n_files: int | None = None) -> DataFrame:
+    """Write ``df`` to a temp parquet dir once and return a scan of it.
+
+    ``key=None`` → one-shot snapshot (fresh dir every call): for operator-
+    internal intermediates reused within one query (e.g. a banded-signature
+    self-join).  A string key memoizes per (applicationId, key): for shared
+    inputs like the derived transcript table.  Stale applicationIds are
+    evicted (their dirs removed) so a long-lived process never accumulates
+    entries across Spark sessions.
+
+    ``n_files`` controls output file count — file count is what governs scan
+    parallelism at re-read time (splits below the row-group size are empty;
+    see memory: perf-pitfalls-r1).
+    """
+    spark = df.sparkSession
+    app_id = spark.sparkContext.applicationId
+    if key is not None:
+        for k in [k for k in _KEYED if k[0] != app_id]:
+            shutil.rmtree(_KEYED.pop(k), ignore_errors=True)
+        path = _KEYED.get((app_id, key))
+        if path is not None:
+            return spark.read.parquet(path)
+    path = tempfile.mkdtemp(prefix="blp-mat-")
+    _ALL_DIRS.append(path)
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(path)
+    if key is not None:
+        _KEYED[(app_id, key)] = path
+    return spark.read.parquet(path)

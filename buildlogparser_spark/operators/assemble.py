@@ -120,6 +120,24 @@ def parse_stateful(
     )
 
 
+def parse_stateful_flat(
+    transcripts: DataFrame, rules_factory: Callable[[], list[Rule]],
+) -> DataFrame:
+    """:func:`parse_stateful` projected to scalar columns. The driver's
+    canonicalization sorts every output column — an ``array<string>`` column
+    is unsortable there (CORRECTNESS_r01 ``unhashable type: 'list'``), and
+    arrays stringify differently across engines anyway; the
+    (n_related, related_joined) form value-hashes identically (same pattern
+    as :func:`compile_blocks_flat`)."""
+    return parse_stateful(transcripts, rules_factory).select(
+        "conv_id", "start_turn_idx",
+        "file", "line", "column", "severity", "message",
+        F.size("related_messages").cast("long").alias("n_related"),
+        F.concat_ws("\n", "related_messages").alias("related_joined"),
+        "source", "category", "raw", "build_target",
+    )
+
+
 def assemble_compile_blocks(transcripts: DataFrame, source: str = "compiler",
                             category_prefix: str = "") -> DataFrame:
     """Window/aggregate segment assembly for CompileErrorRule blocks — the

@@ -155,10 +155,13 @@ def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
     )
     # the banded-signature subplan is expensive (shingle explode + 32-way
     # min agg) and the self-join computes each side independently (AQE does
-    # not reuse the exchange across differently-aliased sides) — cache it.
-    # At corpus scale signatures are materialized to their own table; the
-    # cache (32 longs + 8 digests per doc) is the local analog.
-    banded = banded.cache()
+    # not reuse the exchange across differently-aliased sides) — snapshot it
+    # to temp parquet. At corpus scale signatures are materialized to their
+    # own table; the snapshot is the local analog, and unlike .cache() it
+    # costs no executor storage memory across a long query sweep.
+    from ..materialize import materialize
+
+    banded = materialize(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -257,7 +260,9 @@ def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 
             ])
         ).alias("band", "bucket"),
     )
-    banded = banded.cache()  # see lsh_candidates: self-join computes twice
+    from ..materialize import materialize
+
+    banded = materialize(banded)  # see lsh_candidates: self-join computes twice
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, [F.col("l.band") == F.col("r.band"),

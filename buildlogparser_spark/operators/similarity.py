@@ -205,7 +205,9 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.4,
             "vec_id", "unit", F.lit(t).alias("tbl"),
             lsh_bucket(F.col("unit"), planes).alias("bucket"))
         banded = part if banded is None else banded.unionByName(part)
-    banded = banded.cache()  # self-join computes each side otherwise
+    from ..materialize import materialize
+
+    banded = materialize(banded)  # self-join computes each side otherwise
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(r, [F.col("l.tbl") == F.col("r.tbl"),

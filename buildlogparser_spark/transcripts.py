@@ -156,34 +156,35 @@ def derive_transcripts(events: DataFrame) -> DataFrame:
     return df.select("conv_id", "turn_idx", "role", text.alias("text"), "tool", "ts")
 
 
-_TRANSCRIPT_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def load_transcripts(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
     """Load the derived transcript table for an sf dir.
 
-    ``cache=True`` (default) persists the derived DataFrame. This matters
-    beyond convenience: the template CASE in :func:`derive_transcripts` is an
-    expensive projection, and Catalyst's filter pushdown inlines it into every
-    downstream predicate/extract (~50 copies in the classify cascade → ~9×
-    measured slowdown). Caching materializes `text` once — which also mirrors
-    production, where the transcript table is a real (Iceberg) table, not a
-    derived view; the derivation exists only so the DuckDB oracle can compute
-    over identical data.
+    ``cache=True`` (default) materializes the derived table to a temp
+    parquet snapshot (keyed per session + sf_dir) and returns a scan of it.
+    Materializing matters beyond convenience: the template CASE in
+    :func:`derive_transcripts` is an expensive projection, and Catalyst's
+    filter pushdown inlines it into every downstream predicate/extract
+    (~50 copies in the classify cascade → ~9× measured slowdown).
+    A parquet snapshot (not ``.cache()``) keeps the text materialized once
+    while holding the process's memory footprint flat across a long query
+    sweep (CORRECTNESS_r01: accumulated cached blocks starved the
+    co-resident DuckDB oracle) — and it mirrors production, where the
+    transcript table is a real (Iceberg) table, not a derived view; the
+    derivation exists only so the DuckDB oracle can compute over identical
+    data.
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = derive_transcripts(events)
     if not cache:
         return df
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TRANSCRIPT_CACHE.get(key)
-    if cached is None:
-        # coalesce: the window shuffle inherits spark.sql.shuffle.partitions
-        # (200 in a vanilla session) — without this every post-cache stage
-        # pays 200 tiny-task overheads at small sf.
-        n = max(spark.sparkContext.defaultParallelism, 8)
-        cached = _TRANSCRIPT_CACHE[key] = df.coalesce(n).cache()
-    return cached
+    from .materialize import materialize
+
+    # n_files: the window shuffle inherits spark.sql.shuffle.partitions (200
+    # in a vanilla session) — writing that many files would make every
+    # downstream scan pay 200 tiny-task overheads at small sf. File count ==
+    # scan parallelism at re-read time.
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return materialize(df, key=f"transcripts:{sf_dir}", n_files=n)
 
 
 # ---------------------------------------------------------------------------
