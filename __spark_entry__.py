@@ -91,7 +91,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("diag_class", "tool_family", "default_severity")
             .agg(F.count("*").alias("n")),
         "text_render": lambda spark, sf: rnd.render_text(_diags(spark, sf)),
+        # TextOutput verbose mode over multi-line blocks
+        # (OutputFormatters.swift:53-64): relatedMessages appended with
+        # caret-alignment preservation
+        "text_render_verbose": lambda spark, sf: rnd.render_text_verbose(
+            asm.assemble_compile_blocks(load_transcripts(spark, sf))),
         "json_projection": lambda spark, sf: rnd.json_projection(_diags(spark, sf)),
+        # DiagnosticMetadata counts row (OutputFormatters.swift:469-477)
+        "json_metadata": lambda spark, sf: rnd.json_metadata(_diags(spark, sf)),
+        # the combined {diagnostics, metadata} document
+        # (OutputFormatters.swift:113-131) — one row, one JSON string; JSON
+        # string formatting is engine-specific → rows-only, contract pytest'd
+        "json_document": lambda spark, sf: rnd.json_document(
+            _diags(spark, sf).filter(F.col("severity") == "error")),
         # --- stateful / multi-line assembly (SURVEY.md §2.2) --------------
         "compile_blocks": lambda spark, sf: asm.compile_blocks_flat(
             load_transcripts(spark, sf)),
@@ -99,6 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compile_blocks_chunked": lambda spark, sf: asm.compile_blocks_flat(
             load_transcripts(spark, sf),
             impl=lambda tr: asm.assemble_compile_blocks_chunked(tr, chunk_size=64)),
+        # R2 BUILD FAILED blocks (BuildFailedRule.swift:9,39-46) and R6
+        # linker blocks (LinkerErrorRule.swift:17,35,39) — the reference's
+        # other multi-line shapes, via the generic chunked assembly
+        "build_failed_blocks": lambda spark, sf: asm.build_failed_blocks(
+            load_transcripts(spark, sf)),
+        "linker_blocks": lambda spark, sf: asm.linker_blocks(
+            load_transcripts(spark, sf)),
         # exact consumeLine semantics via applyInPandas — genuinely
         # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
         # entry, driver records the rows-only check; pytest proves it equal
@@ -132,11 +151,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # constants — rows-only check; recall vs cosine_topk asserted in pytest
         "ann_lsh_topk": lambda spark, sf: sim.lsh_topk(
             _emb(spark, sf), _ANN_QUERY_IDS, k=5, n_planes=4, n_tables=16),
-        "embedding_near_dup": lambda spark, sf: sim.embedding_near_dup(
+        # PRIMARY near-dup path = LSH-blocked (bucket-equality join, never
+        # all-pairs — the 100 TB-safe plan). Approximate by construction →
+        # rows-only; recall vs exact asserted in pytest.
+        "embedding_near_dup": lambda spark, sf: sim.embedding_near_dup_lsh(
             _emb(spark, sf), threshold=0.4),
-        # LSH-blocked variant — approximate, rows-only; recall tested in pytest
-        "embedding_near_dup_lsh": lambda spark, sf: sim.embedding_near_dup_lsh(
-            _emb(spark, sf), threshold=0.4),
+        # exact all-pairs demoted to a SAMPLED verification query (the
+        # recall oracle): mod-sampled ids keep the quadratic join bounded
+        "embedding_near_dup_exact_sample": lambda spark, sf: sim.embedding_near_dup(
+            _emb(spark, sf).filter(F.col("vec_id") % 5 == 0), threshold=0.4),
         # --- text analysis ------------------------------------------------
         "lang_id": lambda spark, sf: ts.lang_id(_docs(spark, sf)),
         "token_count": lambda spark, sf: ts.token_count(_docs(spark, sf)),
@@ -214,9 +237,14 @@ def oracle_sql() -> dict[str, str]:
             + enriched_sql(_DIAG_SELECT)
             + ") e GROUP BY diag_class, tool_family, default_severity"),
         "text_render": rnd.render_text_sql(_DIAG_SELECT),
+        "text_render_verbose": rnd.render_text_verbose_sql(
+            asm.compile_blocks_sql(TRANSCRIPT_SQL)),
         "json_projection": rnd.json_projection_sql(_DIAG_SELECT),
+        "json_metadata": rnd.json_metadata_sql(_DIAG_SELECT),
         "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),
         "compile_blocks_chunked": asm.compile_blocks_sql(TRANSCRIPT_SQL),
+        "build_failed_blocks": asm.build_failed_blocks_sql(TRANSCRIPT_SQL),
+        "linker_blocks": asm.linker_blocks_sql(TRANSCRIPT_SQL),
         "routed_partitions": (
             "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("
             + rt.sink_partitions_sql(
@@ -234,7 +262,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dd.simhash_sql(),
         "simhash_near_pairs": dd.simhash_near_pairs_sql(),
         "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
-        "embedding_near_dup": sim.embedding_near_dup_sql(threshold=0.4),
+        "embedding_near_dup_exact_sample": sim.embedding_near_dup_sql(
+            threshold=0.4, where_sql="WHERE vec_id % 5 = 0"),
         "lang_id": ts.lang_id_sql(),
         "token_count": ts.token_count_sql(),
         "quality_score": ts.quality_score_sql(),

@@ -294,6 +294,213 @@ FROM agg
 """
 
 
+def assemble_blocks(transcripts: DataFrame, is_start, is_close, is_cont,
+                    chunk_size: int = 65536) -> DataFrame:
+    """Generic single-rule multi-line block assembly (the consumeLine shape
+    shared by CompileErrorRule, BuildFailedRule — BuildFailedRule.swift:39-46
+    — and LinkerErrorRule — LinkerErrorRule.swift:30-40): ``is_start`` opens
+    a block, the first subsequent ``is_close`` line ends it (the close line
+    itself is NOT appended — consumeLine checks isEnd before
+    matchContinuation, BuildLogParser.swift:327-343), ``is_cont`` lines
+    before the close collect into related_messages. Continuations need not
+    be adjacent: a line matching none of the predicates falls through all
+    four consumeLine branches and is dropped with the block still open.
+
+    Skew-proof chunked prefix-sum formulation throughout (see
+    :func:`assemble_compile_blocks_chunked`): local windows per
+    (conv, chunk), per-conversation chunk-offset prefix sum, one hash
+    aggregate with a conditional-min close cutoff — no whole-conversation
+    sort task.
+
+    Returns (conv_id, seg, start_turn_idx, header, related_messages).
+    """
+    df = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .withColumn("chunk", F.floor(F.col("turn_idx") / chunk_size))
+        .withColumn("is_start", is_start)
+        .withColumn("is_close", is_close)
+        .withColumn("is_cont", is_cont)
+    )
+    w_local = (
+        Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn("local_seg", F.sum(F.col("is_start").cast("long")).over(w_local))
+
+    per_chunk = df.groupBy("conv_id", "chunk").agg(
+        F.sum(F.col("is_start").cast("long")).alias("n_starts"))
+    w_chunks = (
+        Window.partitionBy("conv_id").orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_chunk.withColumn(
+        "seg_offset", F.coalesce(F.sum("n_starts").over(w_chunks), F.lit(0)))
+
+    df = (
+        df.join(offsets.select("conv_id", "chunk", "seg_offset"),
+                ["conv_id", "chunk"])
+        .withColumn("seg", F.col("local_seg") + F.col("seg_offset"))
+        .filter(F.col("seg") > 0)
+    )
+    agg = (
+        df.groupBy("conv_id", "seg")
+        .agg(
+            F.min_by(F.struct("turn_idx", "text"), "turn_idx").alias("start"),
+            F.min(F.when(F.col("is_close") & ~F.col("is_start"),
+                         F.col("turn_idx"))).alias("first_close"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_cont") & ~F.col("is_start"),
+                           F.struct("turn_idx", "text"))
+                )
+            ).alias("conts"),
+        )
+    )
+    cutoff = F.coalesce(F.col("first_close"), F.lit(1 << 62))
+    related = F.transform(
+        F.filter(F.col("conts"), lambda s: s["turn_idx"] < cutoff),
+        lambda s: s["text"])
+    return agg.select(
+        "conv_id", "seg",
+        F.col("start.turn_idx").alias("start_turn_idx"),
+        F.col("start.text").alias("header"),
+        related.alias("related_messages"),
+    )
+
+
+def _flat_related(df: DataFrame, keep: list) -> DataFrame:
+    return df.select(
+        *keep,
+        F.size("related_messages").cast("long").alias("n_related"),
+        F.concat_ws("\n", "related_messages").alias("related_joined"),
+    )
+
+
+def build_failed_blocks(transcripts: DataFrame) -> DataFrame:
+    """BuildFailedRule (R2) blocks: ``** BUILD FAILED **`` header + the
+    failed-command list (``The following build commands failed:`` /
+    tab-indented commands), terminated by the ``(N failures)`` line
+    (BuildFailedRule.swift:9,39-41,46 — the terminator also matches the
+    continuation predicate, but consumeLine's isEnd branch wins so it is
+    not collected). Flat scalar output for the driver gate."""
+    T = F.col("text")
+    is_start = T.rlike(r"^\*\* BUILD FAILED \*\*$")
+    is_close = T.contains("failures)")
+    is_cont = (
+        T.startswith("The following build commands failed:")
+        | T.startswith("\t")
+        | T.contains("failures)")
+    )
+    blocks = assemble_blocks(transcripts, is_start, is_close, is_cont)
+    out = blocks.select(
+        "conv_id", "start_turn_idx",
+        F.lit("error").alias("severity"),
+        F.lit("BUILD FAILED").alias("message"),
+        F.lit("xcodebuild").alias("source"),
+        F.lit("build_failed").alias("category"),
+        F.col("header").alias("raw"),
+        "related_messages",
+    )
+    return _flat_related(out, [
+        "conv_id", "start_turn_idx", "severity", "message", "source",
+        "category", "raw"])
+
+
+def linker_blocks(transcripts: DataFrame) -> DataFrame:
+    """LinkerErrorRule (R6) blocks: ``Undefined symbols for architecture``
+    header + 2-space / ``ld:`` / ``clang:`` continuations, closed by the
+    ``clang: error: linker command failed`` line
+    (LinkerErrorRule.swift:17,35,39). The close line matches the
+    continuation prefix too — isEnd wins (checked first), so it is not
+    collected; its unguarded-isEnd quirk (fires with no current) changes
+    nothing in a single-rule stack (flushing nothing is a no-op)."""
+    T = F.col("text")
+    is_start = T.startswith("Undefined symbols for architecture")
+    is_close = T.startswith("clang: error: linker command failed")
+    is_cont = T.startswith("  ") | T.startswith("ld:") | T.startswith("clang:")
+    blocks = assemble_blocks(transcripts, is_start, is_close, is_cont)
+    out = blocks.select(
+        "conv_id", "start_turn_idx",
+        F.lit("error").alias("severity"),
+        F.col("header").alias("message"),
+        F.lit("linker").alias("source"),
+        F.lit("undefined_symbols").alias("category"),
+        F.col("header").alias("raw"),
+        "related_messages",
+    )
+    return _flat_related(out, [
+        "conv_id", "start_turn_idx", "severity", "message", "source",
+        "category", "raw"])
+
+
+def _blocks_sql(transcripts_cte: str, start_sql: str, close_sql: str,
+                cont_sql: str) -> str:
+    """DuckDB twin of :func:`assemble_blocks`: produces
+    (conv_id, seg, start_turn_idx, header, n_related, related_joined)."""
+    return f"""
+WITH transcripts AS (
+{transcripts_cte}
+), flags AS (
+  SELECT conv_id, turn_idx, text,
+         ({start_sql}) AS is_start,
+         ({close_sql}) AS is_close,
+         ({cont_sql}) AS is_cont
+  FROM transcripts
+), seg AS (
+  SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flags
+), cl AS (
+  SELECT *, min(CASE WHEN is_close AND NOT is_start THEN turn_idx END)
+              OVER (PARTITION BY conv_id, seg) AS first_close
+  FROM seg WHERE seg > 0
+), agg AS (
+  SELECT conv_id, seg,
+    min_by(text, turn_idx) AS header,
+    CAST(min(turn_idx) AS INTEGER) AS start_turn_idx,
+    CAST(coalesce(count(*) FILTER (
+      WHERE is_cont AND NOT is_start
+        AND turn_idx < coalesce(first_close, 4611686018427387904)), 0) AS BIGINT)
+      AS n_related,
+    coalesce(string_agg(text, chr(10) ORDER BY turn_idx) FILTER (
+      WHERE is_cont AND NOT is_start
+        AND turn_idx < coalesce(first_close, 4611686018427387904)), '')
+      AS related_joined
+  FROM cl GROUP BY conv_id, seg
+)
+SELECT conv_id, seg, start_turn_idx, header, n_related, related_joined FROM agg
+"""
+
+
+def build_failed_blocks_sql(transcripts_cte: str) -> str:
+    start = "regexp_matches(text, '^\\*\\* BUILD FAILED \\*\\*$')"
+    close = "contains(text, 'failures)')"
+    cont = ("starts_with(text, 'The following build commands failed:') "
+            "OR starts_with(text, chr(9)) OR contains(text, 'failures)')")
+    inner = _blocks_sql(transcripts_cte, start, close, cont)
+    return f"""
+SELECT conv_id, start_turn_idx,
+  'error' AS severity, 'BUILD FAILED' AS message, 'xcodebuild' AS source,
+  'build_failed' AS category, header AS raw, n_related, related_joined
+FROM ({inner}) b
+"""
+
+
+def linker_blocks_sql(transcripts_cte: str) -> str:
+    start = "starts_with(text, 'Undefined symbols for architecture')"
+    close = "starts_with(text, 'clang: error: linker command failed')"
+    cont = ("starts_with(text, '  ') OR starts_with(text, 'ld:') "
+            "OR starts_with(text, 'clang:')")
+    inner = _blocks_sql(transcripts_cte, start, close, cont)
+    return f"""
+SELECT conv_id, start_turn_idx,
+  'error' AS severity, header AS message, 'linker' AS source,
+  'undefined_symbols' AS category, header AS raw, n_related, related_joined
+FROM ({inner}) b
+"""
+
+
 def assemble_compile_blocks_chunked(transcripts: DataFrame,
                                     chunk_size: int = 65536) -> DataFrame:
     """Skew-proof compile-block assembly (SURVEY.md §7 hard-part 5).

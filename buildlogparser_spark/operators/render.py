@@ -59,6 +59,58 @@ FROM ({diagnostics_select}) d {where}
 """
 
 
+def render_text_verbose(blocks: DataFrame, errors_only: bool = False) -> DataFrame:
+    """TextOutput verbose mode (OutputFormatters.swift:53-64): the header
+    line plus one ``    📎`` line per relatedMessage. Caret lines (trimmed
+    prefix ``^``) keep their original spacing with no space after the clip
+    emoji — alignment is load-bearing (the caret points at a column); other
+    related lines get the standard ``📎 `` spacing. Input: any
+    STATEFUL_SCHEMA-shaped block DataFrame (multi-line assembly output)."""
+    if errors_only:
+        blocks = blocks.filter(F.col("severity") == "error")
+    with_loc = F.concat(
+        _icon_col(), F.lit(" "), F.col("file"), F.lit(":"),
+        F.col("line").cast("string"), F.lit(": "), F.col("severity"),
+        F.lit(" - "), F.col("message"))
+    without = F.concat(
+        _icon_col(), F.lit(" "), F.col("severity"), F.lit(" - "), F.col("message"))
+    head = F.when(F.col("file").isNotNull() & F.col("line").isNotNull(),
+                  with_loc).otherwise(without)
+    rel = F.transform(
+        F.col("related_messages"),
+        lambda m: F.when(
+            F.startswith(F.regexp_replace(m, r"^[ \t]+", ""), F.lit("^")),
+            F.concat(F.lit("    📎"), m),
+        ).otherwise(F.concat(F.lit("    📎 "), m)),
+    )
+    return blocks.select(
+        "conv_id", "start_turn_idx",
+        F.concat_ws("\n", F.concat(F.array(head), rel)).alias("rendered"),
+    )
+
+
+def render_text_verbose_sql(blocks_select: str, errors_only: bool = False) -> str:
+    """DuckDB twin over a flat block SELECT carrying
+    (conv_id, start_turn_idx, file, line, severity, message, n_related,
+    related_joined)."""
+    where = "WHERE severity = 'error'" if errors_only else ""
+    icon = ("CASE severity WHEN 'error' THEN '❌' WHEN 'warning' THEN '⚠️' "
+            "WHEN 'info' THEN 'ℹ️' ELSE '📝' END")
+    head = f"""CASE WHEN file IS NOT NULL AND line IS NOT NULL
+       THEN {icon} || ' ' || file || ':' || CAST(line AS STRING) || ': '
+            || severity || ' - ' || message
+       ELSE {icon} || ' ' || severity || ' - ' || message END"""
+    rel = r"""array_to_string(list_transform(string_split(related_joined, chr(10)),
+      m -> CASE WHEN starts_with(regexp_replace(m, '^[ \t]+', '', 'g'), '^')
+                THEN '    📎' || m ELSE '    📎 ' || m END), chr(10))"""
+    return f"""
+SELECT conv_id, start_turn_idx,
+  CASE WHEN n_related > 0 THEN ({head}) || chr(10) || {rel}
+       ELSE ({head}) END AS rendered
+FROM ({blocks_select}) b {where}
+"""
+
+
 def json_projection(diags: DataFrame) -> DataFrame:
     return diags.select("conv_id", "turn_idx", "message", "severity",
                         "file", "line", "column")
@@ -67,3 +119,82 @@ def json_projection(diags: DataFrame) -> DataFrame:
 def json_projection_sql(diagnostics_select: str) -> str:
     return (f'SELECT conv_id, turn_idx, message, severity, file, line, "column" '
             f"FROM ({diagnostics_select}) d")
+
+
+def json_metadata(diags: DataFrame, verbose: bool = False) -> DataFrame:
+    """DiagnosticMetadata (OutputFormatters.swift:469-477) as a one-row
+    aggregate: total/error/warning/info/note counts + the verbose flag. The
+    reference also stamps wall-clock ``timestamp`` — nondeterministic, so it
+    is excluded from the graded row; :func:`json_document` (the job-side
+    writer) stamps it."""
+    return (
+        diags.agg(
+            F.count("*").alias("total_count"),
+            F.sum((F.col("severity") == "error").cast("long")).alias("error_count"),
+            F.sum((F.col("severity") == "warning").cast("long")).alias("warning_count"),
+            F.sum((F.col("severity") == "info").cast("long")).alias("info_count"),
+            F.sum((F.col("severity") == "note").cast("long")).alias("note_count"),
+        )
+        .withColumn("verbose", F.lit(verbose))
+    )
+
+
+def json_metadata_sql(diagnostics_select: str, verbose: bool = False) -> str:
+    v = "true" if verbose else "false"
+    return f"""
+SELECT count(*) AS total_count,
+       CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,
+       CAST(coalesce(sum(CASE WHEN severity='warning' THEN 1 ELSE 0 END), 0) AS BIGINT) AS warning_count,
+       CAST(coalesce(sum(CASE WHEN severity='info' THEN 1 ELSE 0 END), 0) AS BIGINT) AS info_count,
+       CAST(coalesce(sum(CASE WHEN severity='note' THEN 1 ELSE 0 END), 0) AS BIGINT) AS note_count,
+       {v} AS verbose
+FROM ({diagnostics_select}) d
+"""
+
+
+def json_document(diags: DataFrame, verbose: bool = False,
+                  timestamp: str = "1970-01-01T00:00:00Z") -> DataFrame:
+    """The JSONOutput combined document (OutputFormatters.swift:113-131):
+    one row whose ``doc`` column is the full
+    ``{"diagnostics": [...], "metadata": {...}}`` JSON string. Diagnostics
+    carry exactly the DiagnosticJSON wire fields
+    (OutputFormatters.swift:451-467) ordered by (conv_id, turn_idx).
+
+    Single-pass aggregate (collect_list + counts together), mirroring the
+    reference's buffer-then-finish sink. Like the reference — which buffers
+    every diagnostic in memory — this is a BOUNDED-output sink: the one-row
+    result materializes on a single reducer, so use it for filtered/
+    aggregated results, never a 10^12-row parse (that's what the routed
+    parquet/Iceberg sinks are for). ``timestamp`` is caller-injected for
+    determinism; job entry points pass wall-clock ISO-8601."""
+    if "related_messages" not in diags.columns:
+        diags = diags.withColumn(
+            "related_messages", F.array().cast("array<string>"))
+    item = F.struct(
+        F.col("conv_id"), F.col("turn_idx"),
+        F.struct(
+            F.col("message"), F.col("severity"), F.col("file"),
+            F.col("line"), F.col("column"),
+            F.col("related_messages").alias("relatedMessages"),
+        ).alias("payload"),
+    )
+    agg = diags.agg(
+        F.array_sort(F.collect_list(item)).alias("items"),
+        F.count("*").alias("totalCount"),
+        F.sum((F.col("severity") == "error").cast("long")).alias("errorCount"),
+        F.sum((F.col("severity") == "warning").cast("long")).alias("warningCount"),
+        F.sum((F.col("severity") == "info").cast("long")).alias("infoCount"),
+        F.sum((F.col("severity") == "note").cast("long")).alias("noteCount"),
+    )
+    doc = F.to_json(
+        F.struct(
+            F.transform(F.col("items"), lambda s: s["payload"]).alias("diagnostics"),
+            F.struct(
+                F.col("totalCount"), F.col("errorCount"), F.col("warningCount"),
+                F.col("infoCount"), F.col("noteCount"),
+                F.lit(timestamp).alias("timestamp"),
+                F.lit(verbose).alias("verbose"),
+            ).alias("metadata"),
+        )
+    )
+    return agg.select(doc.alias("doc"))

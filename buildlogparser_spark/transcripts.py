@@ -148,6 +148,18 @@ def derive_transcripts(events: DataFrame) -> DataFrame:
                 F.when(eid % 3 == 0, F.lit("failed")).when(eid % 3 == 1, F.lit("started"))
                  .otherwise(F.lit("passed")),
                 F.lit(" at 2024-01-01 12:00:00.000."))),
+        # BuildFailedRule's failed-command list shapes
+        # (BuildFailedRule.swift:39-46; fixture complete_build2.log:426-441):
+        # header line, tab-indented commands, "(N failures)" terminator.
+        15: F.when(eid % 4 == 0, F.lit("The following build commands failed:"))
+            .when(eid % 4 == 1, F.concat(
+                F.lit("\tSwiftCompile normal arm64 /app/src/File"), _s(eid % 100),
+                F.lit(".swift (in target 'App"), _s(uid % 5),
+                F.lit("' from project 'Proj')")))
+            .when(eid % 4 == 2, F.concat(F.lit("("), _s(eid % 9 + 1),
+                                         F.lit(" failures)")))
+            .otherwise(F.concat(F.lit("Building for debugging... step "),
+                                _s(eid % 100))),
     }
     text = F.concat(F.lit("Building for debugging... step "), _s(eid % 100))
     for k, expr in templates.items():
@@ -232,6 +244,12 @@ SELECT conv_id, turn_idx, role,
                       || (CASE WHEN eid % 3 = 0 THEN 'failed'
                                WHEN eid % 3 = 1 THEN 'started' ELSE 'passed' END)
                       || ' at 2024-01-01 12:00:00.000.' END
+    WHEN 15 THEN CASE WHEN eid % 4 = 0 THEN 'The following build commands failed:'
+                 WHEN eid % 4 = 1 THEN chr(9) || 'SwiftCompile normal arm64 /app/src/File'
+                      || CAST(eid % 100 AS STRING) || '.swift (in target ''App'
+                      || CAST(uid % 5 AS STRING) || ''' from project ''Proj'')'
+                 WHEN eid % 4 = 2 THEN '(' || CAST(eid % 9 + 1 AS STRING) || ' failures)'
+                 ELSE 'Building for debugging... step ' || CAST(eid % 100 AS STRING) END
     ELSE 'Building for debugging... step ' || CAST(eid % 100 AS STRING)
   END AS text,
   tool, ts

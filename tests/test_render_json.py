@@ -1,0 +1,76 @@
+"""Verbose text render + JSON document contract tests.
+
+Reference contracts: TextOutput verbose mode appends relatedMessages with
+caret-alignment preservation (OutputFormatters.swift:53-64); JSONOutput
+writes one {diagnostics, metadata} document with DiagnosticJSON wire fields
+(OutputFormatters.swift:113-131, 451-477).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from buildlogparser_spark.operators import render as rnd
+from buildlogparser_spark.operators.assemble import STATEFUL_SCHEMA
+
+
+def _blocks(spark):
+    rows = [
+        ("c1", 0, "/a/File.swift", 12, 3, "error", "cannot find 'x' in scope",
+         ["    let x = y", "        ^", "note: did you mean 'z'?"],
+         "compiler", "error", "/a/File.swift:12:3: error: cannot find 'x' in scope", None),
+        ("c1", 7, None, None, None, "warning", "BUILD FAILED",
+         [], "xcodebuild", "build_failed", "** BUILD FAILED **", None),
+    ]
+    return spark.createDataFrame(rows, STATEFUL_SCHEMA)
+
+
+def test_render_text_verbose_formats(spark):
+    out = {r.start_turn_idx: r.rendered
+           for r in rnd.render_text_verbose(_blocks(spark)).collect()}
+    lines = out[0].split("\n")
+    assert lines[0] == "❌ /a/File.swift:12: error - cannot find 'x' in scope"
+    # ordinary related line: standard "📎 " spacing
+    assert lines[1] == "    📎     let x = y"
+    # caret line: NO space after 📎 — original spacing preserved
+    # (OutputFormatters.swift:56-58)
+    assert lines[2] == "    📎        ^"
+    assert lines[3] == "    📎 note: did you mean 'z'?"
+    # no file/line → short header; no related → single line
+    assert out[7] == "⚠️ warning - BUILD FAILED"
+
+
+def test_render_text_verbose_errors_only(spark):
+    out = rnd.render_text_verbose(_blocks(spark), errors_only=True).collect()
+    assert len(out) == 1 and out[0].rendered.startswith("❌")
+
+
+def test_json_document_contract(spark):
+    diags = _blocks(spark).select(
+        "conv_id", F.col("start_turn_idx").alias("turn_idx"), "file", "line",
+        "column", "severity", "message", "related_messages")
+    doc = json.loads(rnd.json_document(
+        diags, verbose=True, timestamp="2024-01-01T00:00:00Z").collect()[0].doc)
+    assert set(doc) == {"diagnostics", "metadata"}
+    md = doc["metadata"]
+    assert md["totalCount"] == 2
+    assert md["errorCount"] == 1 and md["warningCount"] == 1
+    assert md["infoCount"] == 0 and md["noteCount"] == 0
+    assert md["verbose"] is True and md["timestamp"] == "2024-01-01T00:00:00Z"
+    # DiagnosticJSON wire fields exactly (drops source/category/raw/target);
+    # nulls are omitted by to_json (JSONEncoder drops nil optionals too)
+    first = doc["diagnostics"][0]
+    assert first["message"] == "cannot find 'x' in scope"
+    assert first["relatedMessages"][1] == "        ^"
+    assert "source" not in first and "category" not in first and "raw" not in first
+    # ordered by (conv_id, turn_idx)
+    assert [d["severity"] for d in doc["diagnostics"]] == ["error", "warning"]
+
+
+def test_json_metadata_counts(spark):
+    diags = _blocks(spark)
+    row = rnd.json_metadata(diags).collect()[0]
+    assert (row.total_count, row.error_count, row.warning_count,
+            row.info_count, row.note_count, row.verbose) == (2, 1, 1, 0, 0, False)
