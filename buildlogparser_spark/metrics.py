@@ -51,10 +51,15 @@ class StageMetrics:
         """Metric values for every stage whose action has completed.
 
         ``Observation.get`` blocks until the observed DataFrame has been
-        acted on — only call after the job ran.
+        acted on — only call after the job ran. Contains stage rows only;
+        wall-clock comes from :meth:`wall_s` (it is a duration, not a stage
+        row count, and must not be mixed into the per-stage map).
         """
         out: dict[str, dict] = {}
         for stage, obs in self._obs.items():
             out[stage] = dict(obs.get)
-        out["_wall_s"] = {"rows": round(time.time() - self._t0, 3)}
         return out
+
+    def wall_s(self) -> float:
+        """Seconds since this StageMetrics was constructed."""
+        return round(time.time() - self._t0, 3)

@@ -102,7 +102,8 @@ def decode_text(raw: DataFrame, blob_col: str = "text_bytes",
 
 
 def route_writes(diags: DataFrame, root: str, n_salt: int = DEFAULT_N_SALT,
-                 fmt: str = "parquet", ts_granularity: str = "day") -> dict[str, str]:
+                 fmt: str = "parquet", ts_granularity: str = "day",
+                 subdir: str | None = None) -> dict[str, str]:
     """Fan-out: one cached classify feeds all sinks (the reference's
     addOutput loop). Returns {sink_name: path}.
 
@@ -115,12 +116,20 @@ def route_writes(diags: DataFrame, root: str, n_salt: int = DEFAULT_N_SALT,
     and file count explodes to tasks × dirs (the classic partitioned-write
     tiny-file storm; at 10^12 rows that is millions of 1 KB files). After
     the repartition each output dir's rows live in one task → files ≈ dirs.
+
+    ``subdir`` scopes the overwrite: writes land under
+    ``{root}/{sink}/{subdir}`` and only that subtree is replaced. Callers
+    writing the same logical dataset more than once into one root — e.g.
+    the streaming router's per-micro-batch calls — MUST pass a disjoint
+    subdir per call (``batch_id=N``); a bare overwrite at the sink root
+    would truncate every earlier call's rows.
     """
     diags = (
         with_sink_partitions(diags, n_salt, ts_granularity)
         .repartition("ts_bucket", "conv_bucket")
         .cache()
     )
+    suffix = f"/{subdir}" if subdir else ""
     paths: dict[str, str] = {}
     try:
         targets: list[tuple[str, DataFrame]] = [("diagnostics", diags)]
@@ -129,7 +138,7 @@ def route_writes(diags: DataFrame, root: str, n_salt: int = DEFAULT_N_SALT,
         for cls in ("error", "warning", "note", "tool-invocation", "step-boundary"):
             targets.append((f"class={cls}", diags.filter(F.col("diag_class") == cls)))
         for name, df in targets:
-            path = f"{root}/{name}"
+            path = f"{root}/{name}{suffix}"
             (df.write.mode("overwrite").format(fmt)
                .partitionBy("ts_bucket", "conv_bucket").save(path))
             paths[name] = path

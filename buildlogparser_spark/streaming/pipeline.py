@@ -63,8 +63,13 @@ def windowed_severity_counts(transcripts: DataFrame, window: str = "1 hour",
 def stream_route(transcripts: DataFrame, root: str, checkpoint_dir: str,
                  n_salt: int = 16, ts_granularity: str = "day"):
     """foreachBatch fan-out: every micro-batch runs the batch router (same
-    sink layout, same salting) — exactly-once per sink via the streaming
-    checkpoint + idempotent overwrite of (ts_bucket, conv_bucket) dirs.
+    sink layout, same salting), each batch under its own
+    ``batch_id={N}`` subpartition of every sink. Batch-disjoint subdirs make
+    multi-batch runs additive (a bare overwrite at the sink root would keep
+    only the LAST batch's rows), and a checkpoint-replayed batch overwrites
+    exactly its own subdir — idempotent, so the streaming checkpoint gives
+    effectively-once sinks. Readers scan ``{root}/{sink}`` and partition
+    discovery surfaces batch_id alongside (ts_bucket, conv_bucket).
 
     Returns the started StreamingQuery (caller awaits/stops)."""
     from ..operators.route import route_writes
@@ -72,7 +77,8 @@ def stream_route(transcripts: DataFrame, root: str, checkpoint_dir: str,
     diags = stream_classify(transcripts)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        route_writes(batch_df, root, n_salt=n_salt, ts_granularity=ts_granularity)
+        route_writes(batch_df, root, n_salt=n_salt, ts_granularity=ts_granularity,
+                     subdir=f"batch_id={batch_id}")
 
     return (
         diags.writeStream

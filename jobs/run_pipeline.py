@@ -92,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
                   for k, v in routed.items()},
         "stages": {k: {m: int(x) if isinstance(x, (int, float)) else x
                        for m, x in v.items()} for k, v in report.items()},
+        "wall_s": mx.wall_s(),
     }))
     return 0
 

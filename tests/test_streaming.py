@@ -59,16 +59,29 @@ def test_windowed_counts_equal_batch_windows(spark, tr_dir):
     assert len(got_rows) >= len(batch_rows) * 0.5
 
 
-def test_stream_route_fanout(spark, tr_dir, tmp_path):
+def test_stream_route_fanout_multibatch(spark, tr_dir, tmp_path):
+    """Multi-batch parity: with maxFilesPerTrigger=1 the 4-file source yields
+    4 micro-batches — every batch's rows must survive in the sinks (the
+    regression here: a bare overwrite per batch keeps only the last batch),
+    and a second availableNow run against the same checkpoint must not
+    duplicate or drop anything."""
     from buildlogparser_spark.streaming import stream_route
 
     root = str(tmp_path / "sinks")
     ckpt = str(tmp_path / "ckpt")
-    q = stream_route(stream_transcripts(spark, tr_dir), root, ckpt,
-                     n_salt=4, ts_granularity="month")
-    q.awaitTermination(180)
+    q = stream_route(stream_transcripts(spark, tr_dir, max_files_per_trigger=1),
+                     root, ckpt, n_salt=4, ts_granularity="month")
+    q.awaitTermination(300)
+    assert q.lastProgress is None or not q.isActive
     batch = classify(spark.read.parquet(tr_dir))
     back = spark.read.parquet(f"{root}/diagnostics")
+    assert back.select("batch_id").distinct().count() > 1, "expected >1 micro-batch"
     assert back.count() == batch.count()
     errors = spark.read.parquet(f"{root}/severity=error")
     assert errors.count() == batch.filter(F.col("severity") == "error").count()
+
+    # incremental re-run, same checkpoint, no new files → sinks unchanged
+    q2 = stream_route(stream_transcripts(spark, tr_dir, max_files_per_trigger=1),
+                      root, ckpt, n_salt=4, ts_granularity="month")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{root}/diagnostics").count() == batch.count()
