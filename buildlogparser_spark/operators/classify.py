@@ -81,6 +81,29 @@ def _int_guard(pat: str, group: int) -> Column:
     return F.when(F.length(g) <= 18, g.cast("long")).otherwise(F.lit(None).cast("long"))
 
 
+_SEP = "\x01"
+
+
+def _packed(pat: str, groups: list[int]) -> Column:
+    """ONE regex execution extracting several capture groups at once: rewrite
+    the (anchored, full-line) pattern's match into the groups joined by an
+    \\x01 separator, then split. The naive cascade re-executes the same
+    pattern per extracted group (~6-9× per matching row for R1 — measured as
+    the dominant classify cost, ROADMAP r01 #2); this brings it to one
+    ``rlike`` (the predicate) + one ``regexp_replace``. Only valid for
+    ^…$-anchored patterns (an unanchored search would keep the surrounding
+    text around the replacement). Reads with ``F.get`` (0-based), which is
+    null-on-missing — safe under ANSI on rows where the pattern did not
+    match and the array has one element."""
+    repl = _SEP.join(f"${g}" for g in groups)
+    return F.split(F.regexp_replace(_T(), pat, repl), _SEP)
+
+
+def _int_guard_el(arr: Column, idx: int) -> Column:
+    g = F.get(arr, idx)
+    return F.when(F.length(g) <= 18, g.cast("long")).otherwise(F.lit(None).cast("long"))
+
+
 def _searched(pat: str) -> Column:
     """Unanchored search success (Java regex find)."""
     return _T().rlike(pat)
@@ -94,19 +117,25 @@ def classify(transcripts: DataFrame) -> DataFrame:
     text matches no rule are dropped (they emit no diagnostic).
     """
     T = _T()
+    # packed one-shot extractions for the anchored rules (see _packed)
+    ce = _packed(COMPILE_ERROR_RE, [1, 3, 4, 5, 6])
+    sct = _packed(SWIFT_COMPILE_TASK_RE, [1, 2, 3, 4])
+    bc = _packed(BUILD_COMMAND_RE, [1, 2, 3])
+    mf = _packed(MODULE_FAILED_RE, [1, 2])
+    pg = _packed(PROGRESS_RE, [1, 2, 3, 4])
     # --- first-match-wins rule dispatch -----------------------------------
     r1 = (
         (T.contains("error:") | T.contains("warning:"))  # fastFail gate
         & T.rlike(COMPILE_ERROR_RE)
-        & (F.length(_ext(COMPILE_ERROR_RE, 3)) <= 18)
-        & (F.length(_ext(COMPILE_ERROR_RE, 4)) <= 18)
+        & (F.length(F.get(ce, 1)) <= 18)
+        & (F.length(F.get(ce, 2)) <= 18)
     )
     r2 = T == "** BUILD FAILED **"  # regex is an exact literal (BuildFailedRule.swift:9)
     r3 = T.rlike(r"^--- xcodebuild: WARNING: (.+)$")
     r4 = T.contains("SwiftCompile normal ") & T.rlike(SWIFT_COMPILE_TASK_RE)
     r5 = (
         T.contains("(in target '") & T.rlike(BUILD_COMMAND_RE)
-        & ~_ext(BUILD_COMMAND_RE, 1).contains("SwiftCompile")
+        & ~F.get(bc, 0).contains("SwiftCompile")
     )
     r6 = T.startswith("Undefined symbols for architecture")
     r7a = T.startswith("Test Case")
@@ -158,18 +187,18 @@ def classify(transcripts: DataFrame) -> DataFrame:
     err_msg = F.trim(F.substring(T, F.locate("error:", T) + F.lit(7), F.lit(2 ** 30)))
 
     file_c = (
-        F.when(R == "r1_compile", _ext(COMPILE_ERROR_RE, 1))
+        F.when(R == "r1_compile", F.get(ce, 0))
         .when(R.isin("r7c_assertion", "r7d_test_error"), fi_file)
         .otherwise(null_s)
     )
     line_c = (
-        F.when(R == "r1_compile", _int_guard(COMPILE_ERROR_RE, 3))
+        F.when(R == "r1_compile", _int_guard_el(ce, 1))
         .when(R.isin("r7c_assertion", "r7d_test_error"), fi_line)
         .otherwise(null_l)
     )
-    column_c = F.when(R == "r1_compile", _int_guard(COMPILE_ERROR_RE, 4)).otherwise(null_l)
+    column_c = F.when(R == "r1_compile", _int_guard_el(ce, 2)).otherwise(null_l)
 
-    r1_sev = _ext(COMPILE_ERROR_RE, 5)
+    r1_sev = F.get(ce, 3)
     severity_c = (
         F.when(R == "r1_compile", r1_sev)
         .when(R == "r3_xcb_warning", "warning")
@@ -182,14 +211,14 @@ def classify(transcripts: DataFrame) -> DataFrame:
     )
 
     message_c = (
-        F.when(R == "r1_compile", _ext(COMPILE_ERROR_RE, 6))
+        F.when(R == "r1_compile", F.get(ce, 4))
         .when(R == "r2_build_failed", "BUILD FAILED")
         .when(R == "r3_xcb_warning", _ext(r"^--- xcodebuild: WARNING: (.+)$", 1))
         .when(R == "r4_swiftcompile_task", F.concat(
-            F.lit("Swift compilation task failed for "), _ext(SWIFT_COMPILE_TASK_RE, 1),
-            F.lit(": "), _ext(SWIFT_COMPILE_TASK_RE, 2)))
+            F.lit("Swift compilation task failed for "), F.get(sct, 0),
+            F.lit(": "), F.get(sct, 1)))
         .when(R == "r5_build_command", F.concat(
-            F.lit("Build command failed: "), _ext(BUILD_COMMAND_RE, 1)))
+            F.lit("Build command failed: "), F.get(bc, 0)))
         .when(R == "r6_linker", T)
         .when(R == "r7a_test_case", F.concat(
             F.lit("Test: "),
@@ -201,10 +230,10 @@ def classify(transcripts: DataFrame) -> DataFrame:
         .when(R == "r7d_test_error", err_msg)
         .when(R == "r9_module_failed", F.concat(
             F.lit("Module compilation failed with exit code "),
-            _ext(MODULE_FAILED_RE, 1), _ext(MODULE_FAILED_RE, 2)))
+            F.get(mf, 0), F.get(mf, 1)))
         .when(R == "r10_progress", F.concat(
-            _ext(PROGRESS_RE, 3), F.lit(" "), _ext(PROGRESS_RE, 4), F.lit(" ("),
-            _ext(PROGRESS_RE, 1), F.lit("/"), _ext(PROGRESS_RE, 2), F.lit(")")))
+            F.get(pg, 2), F.lit(" "), F.get(pg, 3), F.lit(" ("),
+            F.get(pg, 0), F.lit("/"), F.get(pg, 1), F.lit(")")))
     )
 
     source_c = (
@@ -240,12 +269,12 @@ def classify(transcripts: DataFrame) -> DataFrame:
 
     target_c = (
         F.when(R == "r4_swiftcompile_task", F.concat(
-            _ext(SWIFT_COMPILE_TASK_RE, 3), F.lit(" ("), _ext(SWIFT_COMPILE_TASK_RE, 4), F.lit(")")))
+            F.get(sct, 2), F.lit(" ("), F.get(sct, 3), F.lit(")")))
         .when(R == "r5_build_command", F.concat(
-            _ext(BUILD_COMMAND_RE, 2), F.lit(" ("), _ext(BUILD_COMMAND_RE, 3), F.lit(")")))
+            F.get(bc, 1), F.lit(" ("), F.get(bc, 2), F.lit(")")))
         .when(R.isin("r7a_test_case", "r7c_assertion"), test_target)
         .when(R == "r7b_test_suite", suite_name)
-        .when(R == "r10_progress", _ext(PROGRESS_RE, 4))
+        .when(R == "r10_progress", F.get(pg, 3))
         .otherwise(null_s)
     )
 
