@@ -138,12 +138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda spark, sf: dd.dedup_exact(_docs(spark, sf)),
         "minhash_signatures": lambda spark, sf: dd.minhash_signatures_flat(
             _docs(spark, sf)),
-        "lsh_candidates": lambda spark, sf: dd.lsh_candidates(_docs(spark, sf)),
+        "lsh_candidates": lambda spark, sf: dd.lsh_candidates(
+            _docs(spark, sf), snapshot_key=sf),
         "ngram_jaccard_pairs": lambda spark, sf: dd.ngram_jaccard_pairs(
-            _docs(spark, sf)),
+            _docs(spark, sf), snapshot_key=sf),
         "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
         "simhash_near_pairs": lambda spark, sf: dd.simhash_near_pairs(
-            _docs(spark, sf)),
+            _docs(spark, sf), snapshot_key=sf),
         # --- similarity search --------------------------------------------
         "cosine_topk": lambda spark, sf: sim.cosine_topk(
             _emb(spark, sf), _ANN_QUERY_IDS, k=5),
@@ -155,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-pairs — the 100 TB-safe plan). Approximate by construction →
         # rows-only; recall vs exact asserted in pytest.
         "embedding_near_dup": lambda spark, sf: sim.embedding_near_dup_lsh(
-            _emb(spark, sf), threshold=0.4),
+            _emb(spark, sf), threshold=0.4, snapshot_key=sf),
         # exact all-pairs demoted to a SAMPLED verification query (the
         # recall oracle): mod-sampled ids keep the quadratic join bounded
         "embedding_near_dup_exact_sample": lambda spark, sf: sim.embedding_near_dup(

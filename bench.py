@@ -120,7 +120,8 @@ def main() -> None:
         timed("q9_route_writes", lambda: route_writes(
             diags, os.path.join(tmp, "sinks"), n_salt=4, ts_granularity="month"))
         timed("q10_dedup_exact", lambda: dedup.dedup_exact(documents).count())
-        timed("q11_minhash_lsh", lambda: dedup.lsh_candidates(documents).count())
+        timed("q11_minhash_lsh", lambda: dedup.lsh_candidates(
+            documents, snapshot_key=sf_dir).count())
         timed("q12_simhash", lambda: dedup.simhash(documents).count())
         timed("q13_cosine_topk", lambda: similarity.cosine_topk(
             embeddings, query_ids=[1, 2, 3, 4, 5], k=5).collect())

@@ -139,8 +139,15 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
 
 
 def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
-                   shingle_k: int = 3) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket."""
+                   shingle_k: int = 3, snapshot_key: str | None = None) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+
+    ``snapshot_key`` (a stable name for the input corpus, e.g. its path)
+    memoizes the banded-signature snapshot per session: repeated calls over
+    the same corpus — including :func:`ngram_jaccard_pairs`, which builds
+    on the same candidates — reuse one materialized table instead of
+    re-deriving signatures, exactly as production materializes the
+    signature table once and queries it many times."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, shingle_k)
     banded = sig.select(
@@ -161,7 +168,9 @@ def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
     # costs no executor storage memory across a long query sweep.
     from ..materialize import materialize
 
-    banded = materialize(banded)
+    key = (f"minhash-banded:{snapshot_key}:{num_hashes}:{bands}:{shingle_k}"
+           if snapshot_key else None)
+    banded = materialize(banded, key=key)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -175,10 +184,10 @@ def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                         shingle_k: int = 3, num_hashes: int = 32,
-                        bands: int = 8) -> DataFrame:
+                        bands: int = 8, snapshot_key: str | None = None) -> DataFrame:
     """Near-dup pairs with exact n-gram Jaccard ≥ threshold, verified only on
     LSH candidates (the scale path: no all-pairs join)."""
-    cands = lsh_candidates(documents, num_hashes, bands, shingle_k)
+    cands = lsh_candidates(documents, num_hashes, bands, shingle_k, snapshot_key)
     sh = documents.select(
         "doc_id", shingles(F.col("text"), shingle_k).alias("sh"))
     a = sh.alias("a")
@@ -243,7 +252,7 @@ def minhash_signatures_flat(documents: DataFrame, num_hashes: int = 32,
 
 
 def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 3,
-                       n_bands: int = 4) -> DataFrame:
+                       n_bands: int = 4, snapshot_key: str | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming,
     blocked on simhash bit-bands (a pair within distance k must agree on at
     least one of k+1 bands — pigeonhole), so no all-pairs join."""
@@ -262,7 +271,9 @@ def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 
     )
     from ..materialize import materialize
 
-    banded = materialize(banded)  # see lsh_candidates: self-join computes twice
+    key = (f"simhash-banded:{snapshot_key}:{bits}:{n_bands}"
+           if snapshot_key else None)
+    banded = materialize(banded, key=key)  # see lsh_candidates: self-join computes twice
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, [F.col("l.band") == F.col("r.band"),

@@ -193,7 +193,8 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
 
 def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.4,
                            n_planes: int = 4, n_tables: int = 8,
-                           dim: int = 64) -> DataFrame:
+                           dim: int = 64,
+                           snapshot_key: str | None = None) -> DataFrame:
     """Scale path: random-hyperplane LSH blocks candidates (same-bucket in
     any table), exact cosine verifies — never an all-pairs join.
     Approximate: may miss pairs whose vectors disagree in every table."""
@@ -207,7 +208,9 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.4,
         banded = part if banded is None else banded.unionByName(part)
     from ..materialize import materialize
 
-    banded = materialize(banded)  # self-join computes each side otherwise
+    key = (f"embnd-banded:{snapshot_key}:{n_planes}:{n_tables}:{dim}"
+           if snapshot_key else None)
+    banded = materialize(banded, key=key)  # self-join computes each side otherwise
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(r, [F.col("l.tbl") == F.col("r.tbl"),
