@@ -96,6 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # caret-alignment preservation
         "text_render_verbose": lambda spark, sf: rnd.render_text_verbose(
             asm.assemble_compile_blocks(load_transcripts(spark, sf))),
+        # SummaryOutput's full verbose report as one aggregate-built string
+        # (OutputFormatters.swift:295-361)
+        "summary_text": lambda spark, sf: rnd.summary_text(
+            _diags(spark, sf), verbose=True),
         "json_projection": lambda spark, sf: rnd.json_projection(_diags(spark, sf)),
         # DiagnosticMetadata counts row (OutputFormatters.swift:469-477)
         "json_metadata": lambda spark, sf: rnd.json_metadata(_diags(spark, sf)),
@@ -240,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "text_render": rnd.render_text_sql(_DIAG_SELECT),
         "text_render_verbose": rnd.render_text_verbose_sql(
             asm.compile_blocks_sql(TRANSCRIPT_SQL)),
+        "summary_text": rnd.summary_text_sql(_DIAG_SELECT, verbose=True),
         "json_projection": rnd.json_projection_sql(_DIAG_SELECT),
         "json_metadata": rnd.json_metadata_sql(_DIAG_SELECT),
         "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),

@@ -121,6 +121,106 @@ def json_projection_sql(diagnostics_select: str) -> str:
             f"FROM ({diagnostics_select}) d")
 
 
+_RULER = "═" * 63  # OutputFormatters.swift's 63-char section ruler
+
+
+def summary_text(diags: DataFrame, verbose: bool = False,
+                 errors_only: bool = False) -> DataFrame:
+    """SummaryOutput's full report (OutputFormatters.swift:295-361) as ONE
+    row / one string, computed as a single aggregation pass: header +
+    conditional severity counts + (verbose) per-file breakdown sorted by
+    file, or the 🎉 happy path when no issues — byte-identical to the
+    reference's generateSummaryOutput. The per-file section is an aggregate
+    over the per-file counts, so the plan is two hash aggregates (file →
+    global), no collect."""
+    if errors_only:
+        diags = diags.filter(F.col("severity") == "error")
+    is_ = lambda s: (F.col("severity") == s).cast("long")  # noqa: E731
+    per_file = (
+        diags.groupBy(F.coalesce(F.col("file"), F.lit("Unknown")).alias("f"))
+        .agg(F.count("*").alias("n"),
+             F.sum(is_("error")).alias("e"), F.sum(is_("warning")).alias("w"),
+             F.sum(is_("info")).alias("i"), F.sum(is_("note")).alias("nt"))
+    )
+    sec = F.concat(
+        F.lit("\n📄 "), F.col("f"), F.lit(":\n"),
+        F.when(F.col("e") > 0,
+               F.concat(F.lit("   ❌ "), F.col("e").cast("string"),
+                        F.lit(" error(s)\n"))).otherwise(""),
+        F.when(F.col("w") > 0,
+               F.concat(F.lit("   ⚠️  "), F.col("w").cast("string"),
+                        F.lit(" warning(s)\n"))).otherwise(""),
+    )
+    tot = (
+        per_file.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.coalesce(F.sum("e"), F.lit(0)).alias("e"),
+            F.coalesce(F.sum("w"), F.lit(0)).alias("w"),
+            F.coalesce(F.sum("i"), F.lit(0)).alias("i"),
+            F.coalesce(F.sum("nt"), F.lit(0)).alias("nt"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("f"), sec.alias("s")))),
+                    lambda x: x["s"]),
+            ).alias("brk"),
+        )
+    )
+    cnt = lambda c, seg: F.when(  # noqa: E731
+        F.col(c) > 0,
+        F.concat(F.lit(seg), F.col(c).cast("string"), F.lit("\n"))).otherwise("")
+    body = F.concat(
+        F.lit("📊 Build Log Analysis Summary\n" + _RULER + "\n\nTotal Issues Found: "),
+        F.col("total").cast("string"), F.lit("\n"),
+        cnt("e", "❌ Errors: "), cnt("w", "⚠️  Warnings: "),
+        cnt("i", "ℹ️  Info: "), cnt("nt", "📝 Notes: "),
+        F.when(F.col("total") == 0,
+               F.lit("\n🎉 No issues found! Build log looks clean.\n"))
+        .otherwise(F.col("brk") if verbose else F.lit("")),
+        F.lit("\n✅ Analysis completed\n"),
+    )
+    return tot.select(body.alias("summary"))
+
+
+def summary_text_sql(diagnostics_select: str, verbose: bool = False,
+                     errors_only: bool = False) -> str:
+    where = "WHERE severity = 'error'" if errors_only else ""
+    brk_or_empty = "coalesce(brk, '')" if verbose else "''"
+    return f"""
+WITH d AS (SELECT * FROM ({diagnostics_select}) dd {where}),
+pf AS (
+  SELECT coalesce(file, 'Unknown') AS f, count(*) AS n,
+         CAST(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+         CAST(sum(CASE WHEN severity='warning' THEN 1 ELSE 0 END) AS BIGINT) AS w,
+         CAST(sum(CASE WHEN severity='info' THEN 1 ELSE 0 END) AS BIGINT) AS i,
+         CAST(sum(CASE WHEN severity='note' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total,
+         CAST(coalesce(sum(e), 0) AS BIGINT) AS e,
+         CAST(coalesce(sum(w), 0) AS BIGINT) AS w,
+         CAST(coalesce(sum(i), 0) AS BIGINT) AS i,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS nt,
+         string_agg(chr(10) || '📄 ' || f || ':' || chr(10)
+           || CASE WHEN e > 0 THEN '   ❌ ' || CAST(e AS STRING) || ' error(s)' || chr(10) ELSE '' END
+           || CASE WHEN w > 0 THEN '   ⚠️  ' || CAST(w AS STRING) || ' warning(s)' || chr(10) ELSE '' END,
+           '' ORDER BY f) AS brk
+  FROM pf
+)
+SELECT '📊 Build Log Analysis Summary' || chr(10) || '{_RULER}' || chr(10) || chr(10)
+  || 'Total Issues Found: ' || CAST(total AS STRING) || chr(10)
+  || CASE WHEN e > 0 THEN '❌ Errors: ' || CAST(e AS STRING) || chr(10) ELSE '' END
+  || CASE WHEN w > 0 THEN '⚠️  Warnings: ' || CAST(w AS STRING) || chr(10) ELSE '' END
+  || CASE WHEN i > 0 THEN 'ℹ️  Info: ' || CAST(i AS STRING) || chr(10) ELSE '' END
+  || CASE WHEN nt > 0 THEN '📝 Notes: ' || CAST(nt AS STRING) || chr(10) ELSE '' END
+  || CASE WHEN total = 0 THEN chr(10) || '🎉 No issues found! Build log looks clean.' || chr(10)
+          ELSE {brk_or_empty} END
+  || chr(10) || '✅ Analysis completed' || chr(10) AS summary
+FROM tot
+"""
+
+
 def json_metadata(diags: DataFrame, verbose: bool = False) -> DataFrame:
     """DiagnosticMetadata (OutputFormatters.swift:469-477) as a one-row
     aggregate: total/error/warning/info/note counts + the verbose flag. The

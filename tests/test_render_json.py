@@ -74,3 +74,30 @@ def test_json_metadata_counts(spark):
     row = rnd.json_metadata(diags).collect()[0]
     assert (row.total_count, row.error_count, row.warning_count,
             row.info_count, row.note_count, row.verbose) == (2, 1, 1, 0, 0, False)
+
+
+def test_summary_text_verbose(spark):
+    out = rnd.summary_text(_blocks(spark), verbose=True).collect()[0].summary
+    expected = (
+        "📊 Build Log Analysis Summary\n" + "═" * 63 + "\n\n"
+        "Total Issues Found: 2\n"
+        "❌ Errors: 1\n"
+        "⚠️  Warnings: 1\n"
+        "\n📄 /a/File.swift:\n   ❌ 1 error(s)\n"
+        "\n📄 Unknown:\n   ⚠️  1 warning(s)\n"
+        "\n✅ Analysis completed\n"
+    )
+    assert out == expected
+
+
+def test_summary_text_happy_path(spark):
+    empty = _blocks(spark).filter(F.col("severity") == "nope")
+    out = rnd.summary_text(empty).collect()[0].summary
+    assert "Total Issues Found: 0" in out
+    assert "🎉 No issues found! Build log looks clean." in out
+    assert "❌" not in out
+
+
+def test_summary_text_errors_only(spark):
+    out = rnd.summary_text(_blocks(spark), errors_only=True).collect()[0].summary
+    assert "Total Issues Found: 1" in out and "⚠️" not in out
