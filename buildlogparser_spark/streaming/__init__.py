@@ -4,4 +4,5 @@ from .pipeline import (  # noqa: F401
     windowed_severity_counts,
     stream_route,
 )
-from .stateful import stream_parse_stateful  # noqa: F401
+from .stateful import (  # noqa: F401
+    stream_parse_stateful, stream_parse_stateful_unordered)

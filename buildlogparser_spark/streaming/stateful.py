@@ -124,3 +124,95 @@ def stream_parse_stateful(transcripts: DataFrame, rules_factory,
         .applyInPandasWithState(fn, STATEFUL_SCHEMA, STATE_SCHEMA, "append",
                                 timeout_conf)
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order arrival (ROADMAP: watermark-buffered assembly)
+# ---------------------------------------------------------------------------
+
+# state: in-flight diagnostic + next expected turn + buffered future turns
+UNORDERED_STATE_SCHEMA = StructType([
+    StructField("current_json", StringType()),
+    StructField("current_turn", IntegerType()),
+    StructField("next_turn", IntegerType()),
+    StructField("buffer_json", StringType()),   # {turn: text} for turns > next
+])
+
+
+def stream_parse_stateful_unordered(
+        transcripts: DataFrame, rules_factory,
+        eof_marker: str = DEFAULT_EOF_MARKER,
+        max_buffer: int = 100_000) -> DataFrame:
+    """:func:`stream_parse_stateful` without the in-order arrival contract:
+    turns may arrive shuffled ACROSS micro-batches (late/early data). The
+    per-conversation state buffers turns that arrive ahead of the next
+    expected ``turn_idx`` and feeds the parser only the contiguous prefix —
+    the event-time analog of a watermark-buffered sort, with the watermark
+    driven by turn-idx contiguity instead of a clock (exact, not heuristic:
+    turn_idx is dense per conversation, 0-based — the transcript table's
+    ordering contract, FIXTURES.md §1).
+
+    ``max_buffer`` bounds state per conversation: a producer hole older
+    than ``max_buffer`` buffered turns raises rather than silently
+    reordering (bounded state is mandatory on an unbounded stream).
+    Output rows appear once their full causal prefix has arrived, so the
+    result equals the batch parser on the same (completed) input."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(transcripts.sparkSession)
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        from buildlogparser_spark.oracle import ParserOracle
+        from buildlogparser_spark.rules.table import Diagnostic as D
+
+        conv = key[0]
+        oracle = ParserOracle(rules_factory())
+        next_turn = 0
+        buffer: dict[int, str] = {}
+        if state.exists:
+            (cur_json, cur_turn, nxt, buf_json) = state.get
+            next_turn = nxt or 0
+            if cur_json:
+                oracle.current = D(**json.loads(cur_json))
+                oracle.current_line_no = cur_turn
+            if buf_json:
+                buffer = {int(k): v for k, v in json.loads(buf_json).items()}
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for turn, text in zip(rows["turn_idx"], rows["text"]):
+            t = int(turn)
+            if t >= next_turn:          # duplicates/stale turns are dropped
+                buffer[t] = text
+        if len(buffer) > max_buffer:
+            raise RuntimeError(
+                f"conv {conv}: {len(buffer)} buffered turns exceed "
+                f"max_buffer={max_buffer} — producer hole at turn {next_turn}")
+
+        finished = False
+        while next_turn in buffer:
+            text = buffer.pop(next_turn)
+            if text == eof_marker:
+                oracle.finish()
+                finished = True
+            else:
+                oracle.consume_line(text, next_turn)
+            next_turn += 1
+
+        out = [_diag_to_row(conv, t, d)
+               for t, d in zip(oracle.out_line_nos, oracle.out)]
+        if finished and oracle.current is None and not buffer:
+            state.remove()
+        else:
+            state.update((
+                json.dumps(oracle.current.__dict__) if oracle.current else None,
+                oracle.current_line_no, next_turn,
+                json.dumps(buffer) if buffer else None))
+        yield pd.DataFrame(out, columns=_COLS)
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(fn, STATEFUL_SCHEMA, UNORDERED_STATE_SCHEMA,
+                                "append", GroupStateTimeout.NoTimeout)
+    )

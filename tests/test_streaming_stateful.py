@@ -84,3 +84,63 @@ def test_stateful_stream_across_batches(spark, tmp_path):
         f"extra={list(extra.items())[:3]}")
     total = sum(exp.values())
     assert 0 < n_after_1 < total  # output really spanned batches
+
+
+def test_unordered_stream_buffers_out_of_order_turns(spark, tmp_path):
+    """Out-of-order arrival: run 1 delivers only the EVEN turns of every
+    conversation (holes at every odd index), run 2 the ODD turns, run 3 the
+    EOF sentinels. The contiguity buffer must hold back everything after the
+    first hole in run 1, then drain to exactly the batch-oracle output —
+    nothing lost, nothing duplicated, blocks assembled across the shuffle."""
+    import random
+
+    from buildlogparser_spark.streaming.stateful import (
+        stream_parse_stateful_unordered)
+
+    convs = _corpus()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rng = random.Random(7)
+
+    evens = [(c, i, t) for c, ls in convs.items()
+             for i, t in enumerate(ls) if i % 2 == 0]
+    odds = [(c, i, t) for c, ls in convs.items()
+            for i, t in enumerate(ls) if i % 2 == 1]
+    rng.shuffle(evens)
+    rng.shuffle(odds)
+    eofs = [(c, len(ls), DEFAULT_EOF_MARKER) for c, ls in convs.items()]
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (stream_parse_stateful_unordered(stream, ref_test_stack)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write(evens)
+    run_once()
+    n_after_1 = spark.read.parquet(out_dir).count()
+
+    write(odds)
+    run_once()
+    write(eofs)
+    run_once()
+
+    got: Counter = Counter()
+    for r in spark.read.parquet(out_dir).collect():
+        got[(r.conv_id, r.start_turn_idx, r.category, r.message,
+             tuple(r.related_messages))] += 1
+    exp = _expected(convs)
+    missing, extra = exp - got, got - exp
+    assert not missing and not extra, (
+        f"after1={n_after_1}\nmissing={list(missing.items())[:3]}\n"
+        f"extra={list(extra.items())[:3]}")
+    # run 1 saw only turn 0 of each conversation (hole at turn 1) — at most
+    # a handful of single-line diagnostics may emit, never the full corpus
+    assert n_after_1 < sum(exp.values()) / 2
