@@ -94,3 +94,20 @@ def test_dead_letter_routing(spark):
     assert good.count() + dead.count() == tr.count()
     assert dead.filter(F.col("text").isNotNull()).count() == 0
     assert dead.count() > 0
+
+
+def test_route_writes_iceberg_plan_construction(spark, diags):
+    """No Iceberg catalog in this sandbox: the V2 writer with native
+    days/bucket partition transforms must build, and executing must fail
+    with the missing-catalog analysis error — not an API error in our
+    wiring (the construct path is what a cluster run exercises before
+    Iceberg takes over)."""
+    import pytest
+
+    from buildlogparser_spark.operators.route import route_writes_iceberg
+
+    with pytest.raises(Exception) as ei:
+        route_writes_iceberg(diags.limit(10), "blp_test")
+    msg = str(ei.value)
+    assert "catalog" in msg.lower() or "iceberg" in msg.lower() or \
+        "TABLE_OR_VIEW_NOT_FOUND" in msg
