@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (OutputFormatters.swift:295-361)
         "summary_text": lambda spark, sf: rnd.summary_text(
             _diags(spark, sf), verbose=True),
+        # StatsCollector's detailed report (OutputFormatters.swift:377-427)
+        "stats_text": lambda spark, sf: rnd.stats_text(_diags(spark, sf)),
         "json_projection": lambda spark, sf: rnd.json_projection(_diags(spark, sf)),
         # DiagnosticMetadata counts row (OutputFormatters.swift:469-477)
         "json_metadata": lambda spark, sf: rnd.json_metadata(_diags(spark, sf)),
@@ -245,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "text_render_verbose": rnd.render_text_verbose_sql(
             asm.compile_blocks_sql(TRANSCRIPT_SQL)),
         "summary_text": rnd.summary_text_sql(_DIAG_SELECT, verbose=True),
+        "stats_text": rnd.stats_text_sql(_DIAG_SELECT),
         "json_projection": rnd.json_projection_sql(_DIAG_SELECT),
         "json_metadata": rnd.json_metadata_sql(_DIAG_SELECT),
         "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),

@@ -221,6 +221,118 @@ FROM tot
 """
 
 
+def stats_text(diags: DataFrame) -> DataFrame:
+    """StatsCollector.printStats (OutputFormatters.swift:377-427) as one
+    string: unconditional severity counts, files affected, top-5 files by
+    issue count (>1 file only), %.1f severity distribution (non-empty
+    only). Determinization vs the reference: Swift sorts the top files on
+    count desc with UNDEFINED tie order (dictionary iteration); ties here
+    break on file name asc, matching the `top_files` oracle convention.
+    Percentages are pre-rounded to 1 decimal before formatting so Java and
+    C printf agree on ties. The top-5 ranking is a single window over the
+    per-file counts — bounded cardinality (files, not rows)."""
+    from pyspark.sql.window import Window
+
+    is_ = lambda s: (F.col("severity") == s).cast("long")  # noqa: E731
+    pf = (
+        diags.groupBy(F.coalesce(F.col("file"), F.lit("Unknown")).alias("f"))
+        .agg(F.count("*").alias("n"),
+             F.sum(is_("error")).alias("e"), F.sum(is_("warning")).alias("w"),
+             F.sum(is_("info")).alias("i"), F.sum(is_("note")).alias("nt"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("f")))
+    line = F.concat(F.lit("   "), F.col("f"), F.lit(": "),
+                    F.col("n").cast("string"), F.lit(" issue(s)\n"))
+    tot = (
+        pf.withColumn("rk", rk)
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.coalesce(F.sum("e"), F.lit(0)).alias("e"),
+            F.coalesce(F.sum("w"), F.lit(0)).alias("w"),
+            F.coalesce(F.sum("i"), F.lit(0)).alias("i"),
+            F.coalesce(F.sum("nt"), F.lit(0)).alias("nt"),
+            F.count("*").alias("files"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("rk") <= 5,
+                               F.struct(F.col("rk"), line.alias("s"))))),
+                    lambda x: x["s"]),
+            ).alias("top5"),
+        )
+    )
+    pct = lambda c, seg: F.when(  # noqa: E731
+        F.col(c) > 0,
+        F.concat(F.lit(seg),
+                 F.format_string("%.1f", F.round(F.col(c) * 100.0 / F.col("total"), 1)),
+                 F.lit("%\n"))).otherwise("")
+    body = F.concat(
+        F.lit("\n📈 Detailed Statistics:\n" + _RULER + "\n"
+              "Total diagnostics processed: "),
+        F.col("total").cast("string"), F.lit("\n❌ Errors: "),
+        F.col("e").cast("string"), F.lit("\n⚠️  Warnings: "),
+        F.col("w").cast("string"), F.lit("\nℹ️  Information: "),
+        F.col("i").cast("string"), F.lit("\n📝 Notes: "),
+        F.col("nt").cast("string"),
+        F.lit("\n\n📁 Files affected: "), F.col("files").cast("string"), F.lit("\n"),
+        F.when(F.col("files") > 1,
+               F.concat(F.lit("\n🔥 Most issues by file:\n"), F.col("top5")))
+        .otherwise(""),
+        F.when(F.col("total") > 0, F.concat(
+            F.lit("\n📊 Severity distribution:\n"),
+            pct("e", "   ❌ Errors: "), pct("w", "   ⚠️  Warnings: "),
+            pct("i", "   ℹ️  Information: "), pct("nt", "   📝 Notes: "),
+        )).otherwise(""),
+        F.lit(_RULER + "\n"),
+    )
+    return tot.select(body.alias("stats"))
+
+
+def stats_text_sql(diagnostics_select: str) -> str:
+    return f"""
+WITH d AS (SELECT * FROM ({diagnostics_select}) dd),
+pf AS (
+  SELECT coalesce(file, 'Unknown') AS f, count(*) AS n,
+         CAST(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+         CAST(sum(CASE WHEN severity='warning' THEN 1 ELSE 0 END) AS BIGINT) AS w,
+         CAST(sum(CASE WHEN severity='info' THEN 1 ELSE 0 END) AS BIGINT) AS i,
+         CAST(sum(CASE WHEN severity='note' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM d GROUP BY 1
+),
+rkd AS (SELECT *, row_number() OVER (ORDER BY n DESC, f ASC) AS rk FROM pf),
+tot AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total,
+         CAST(coalesce(sum(e), 0) AS BIGINT) AS e,
+         CAST(coalesce(sum(w), 0) AS BIGINT) AS w,
+         CAST(coalesce(sum(i), 0) AS BIGINT) AS i,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS nt,
+         count(*) AS files,
+         coalesce(string_agg(CASE WHEN rk <= 5
+           THEN '   ' || f || ': ' || CAST(n AS STRING) || ' issue(s)' || chr(10) END,
+           '' ORDER BY rk), '') AS top5
+  FROM rkd
+)
+SELECT chr(10) || '📈 Detailed Statistics:' || chr(10) || '{_RULER}' || chr(10)
+  || 'Total diagnostics processed: ' || CAST(total AS STRING) || chr(10)
+  || '❌ Errors: ' || CAST(e AS STRING) || chr(10)
+  || '⚠️  Warnings: ' || CAST(w AS STRING) || chr(10)
+  || 'ℹ️  Information: ' || CAST(i AS STRING) || chr(10)
+  || '📝 Notes: ' || CAST(nt AS STRING) || chr(10)
+  || chr(10) || '📁 Files affected: ' || CAST(files AS STRING) || chr(10)
+  || CASE WHEN files > 1
+       THEN chr(10) || '🔥 Most issues by file:' || chr(10) || top5 ELSE '' END
+  || CASE WHEN total > 0 THEN chr(10) || '📊 Severity distribution:' || chr(10)
+       || CASE WHEN e > 0 THEN '   ❌ Errors: ' || printf('%.1f', round(e * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
+       || CASE WHEN w > 0 THEN '   ⚠️  Warnings: ' || printf('%.1f', round(w * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
+       || CASE WHEN i > 0 THEN '   ℹ️  Information: ' || printf('%.1f', round(i * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
+       || CASE WHEN nt > 0 THEN '   📝 Notes: ' || printf('%.1f', round(nt * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
+     ELSE '' END
+  || '{_RULER}' || chr(10) AS stats
+FROM tot
+"""
+
+
 def json_metadata(diags: DataFrame, verbose: bool = False) -> DataFrame:
     """DiagnosticMetadata (OutputFormatters.swift:469-477) as a one-row
     aggregate: total/error/warning/info/note counts + the verbose flag. The

@@ -101,3 +101,24 @@ def test_summary_text_happy_path(spark):
 def test_summary_text_errors_only(spark):
     out = rnd.summary_text(_blocks(spark), errors_only=True).collect()[0].summary
     assert "Total Issues Found: 1" in out and "⚠️" not in out
+
+
+def test_stats_text_report(spark):
+    out = rnd.stats_text(_blocks(spark)).collect()[0].stats
+    assert "Total diagnostics processed: 2" in out
+    assert "❌ Errors: 1\n" in out and "⚠️  Warnings: 1\n" in out
+    assert "ℹ️  Information: 0\n" in out and "📝 Notes: 0\n" in out
+    assert "📁 Files affected: 2" in out
+    assert "🔥 Most issues by file:" in out
+    # tie on count (1 vs 1) breaks by file name asc
+    top = out.split("🔥 Most issues by file:\n")[1].split("\n📊")[0]
+    assert top.splitlines() == ["   /a/File.swift: 1 issue(s)",
+                                "   Unknown: 1 issue(s)"]
+    assert "   ❌ Errors: 50.0%" in out and "   ⚠️  Warnings: 50.0%" in out
+    assert "   ℹ️" not in out.split("📊")[1]  # zero severities omitted from %
+
+
+def test_stats_text_single_file_no_top5(spark):
+    one = _blocks(spark).filter(F.col("severity") == "error")
+    out = rnd.stats_text(one).collect()[0].stats
+    assert "📁 Files affected: 1" in out and "🔥" not in out
