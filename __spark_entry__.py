@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), snapshot_key=sf),
         "ngram_jaccard_pairs": lambda spark, sf: dd.ngram_jaccard_pairs(
             _docs(spark, sf), snapshot_key=sf),
+        # pairs → dedup groups: transitive closure, survivor = min doc_id
+        "near_dup_components": lambda spark, sf: dd.near_dup_components(
+            _docs(spark, sf),
+            dd.ngram_jaccard_pairs(_docs(spark, sf), snapshot_key=sf)),
         "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
         "simhash_near_pairs": lambda spark, sf: dd.simhash_near_pairs(
             _docs(spark, sf), snapshot_key=sf),
@@ -268,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": dd.minhash_signatures_flat_sql(),
         "lsh_candidates": dd.lsh_candidates_sql(),
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs_sql(),
+        "near_dup_components": dd.near_dup_components_sql(
+            dd.ngram_jaccard_pairs_sql()),
         "simhash": dd.simhash_sql(),
         "simhash_near_pairs": dd.simhash_near_pairs_sql(),
         "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),

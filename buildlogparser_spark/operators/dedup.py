@@ -292,6 +292,82 @@ def simhash_near_pairs(documents: DataFrame, bits: int = 32, max_hamming: int = 
 
 
 # ---------------------------------------------------------------------------
+# Near-dup components: pairs → dedup groups (transitive closure)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_components(documents: DataFrame, pairs: DataFrame,
+                        max_iter: int = 25) -> DataFrame:
+    """(doc_id, component_id): connected components over undirected near-dup
+    ``pairs`` (doc_a, doc_b); component_id = min doc_id in the component, so
+    the component representative IS the dedup survivor. Docs in no pair are
+    their own singleton component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in ≤ graph-diameter
+    rounds (near-dup clusters are shallow — dup clusters of one document
+    family, so typically 2-4 rounds). Each round = one join + one
+    hash-aggregate, labels snapshot-materialized between rounds to cut
+    lineage (iterative plans otherwise grow unboundedly). At 10^12-doc
+    scale the refinement is the large-star/small-star formulation
+    (alternating min-propagation that squashes paths in O(log n) rounds);
+    the round structure and join shapes are identical.
+    """
+    from ..materialize import materialize
+
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = materialize(edges)
+
+    labels = documents.select(
+        F.col("doc_id"), F.col("doc_id").alias("component_id"))
+    labels = materialize(labels)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("component_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(F.col("component_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("component_id")))
+                .alias("component_id"),
+            )
+        )
+        new = materialize(new)
+        changed = (
+            new.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_components_sql(pairs_sql: str, table: str = "documents") -> str:
+    """DuckDB twin: min-reachable-id per node via a recursive CTE (the
+    UNION dedups visited (node, candidate) pairs, so it terminates)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc, cand) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.cand FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id, min(cand) AS component_id FROM reach GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins (correctness oracles). Same md5-derived arithmetic as the
 # Spark path, so both engines compute identical hashes/signatures; the
 # per-hash coefficients are emitted as a VALUES table.

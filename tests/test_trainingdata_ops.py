@@ -117,3 +117,16 @@ def test_duplicate_docs_have_jaccard_one(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(both, threshold=0.5).collect()
     assert len(pairs) == 1
     assert pairs[0].jaccard == 1.0
+
+
+def test_near_dup_components_chain_and_singleton(spark):
+    """Chain 1-2-3 collapses to component 1 transitively (1 and 3 share no
+    pair), 4-5 is its own component, 6 is a singleton."""
+    from buildlogparser_spark.operators.dedup import near_dup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.component_id
+           for r in near_dup_components(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
