@@ -36,6 +36,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ts-granularity", choices=["day", "month"], default="day")
     ap.add_argument("--streaming", action="store_true",
                     help="consume --input incrementally (availableNow)")
+    # the reference CLI's sink options (BuildLogParserCommand.swift:27-46):
+    # --format {text,json,summary}, --verbose, --errors-only, --show-stats
+    ap.add_argument("--format", choices=["none", "text", "json", "summary"],
+                    default="none",
+                    help="additionally write the reference's formatted "
+                         "report under {output}/report")
+    ap.add_argument("--verbose", action="store_true",
+                    help="verbose report (summary per-file breakdown / "
+                         "json metadata flag)")
+    ap.add_argument("--errors-only", action="store_true",
+                    help="formatted report covers errors only "
+                         "(OutputFormatters errorsOnly flag)")
+    ap.add_argument("--show-stats", action="store_true",
+                    help="also write the StatsCollector detailed report")
     args = ap.parse_args(argv)
 
     # spark-submit provides master/conf; only session-level SQL knobs here
@@ -84,6 +98,36 @@ def main(argv: list[str] | None = None) -> int:
     for name, df in aggs.items():
         df.coalesce(1).write.mode("overwrite").json(
             f"{args.output}/aggregates/{name}")
+
+    # formatted report sinks (the reference CLI's TextOutput/JSONOutput/
+    # SummaryOutput formats). Single-file text outputs: these are
+    # bounded-size reports (the reference buffers them in memory), so
+    # coalesce(1) + total sort is the honest equivalent, not a scale path.
+    if args.format != "none" or args.show_stats:
+        from datetime import datetime, timezone
+
+        from buildlogparser_spark.operators import render as rnd
+
+        report_dir = f"{args.output}/report"
+        fmt_df = None
+        if args.format == "text":
+            fmt_df = (rnd.render_text(diags, errors_only=args.errors_only)
+                      .coalesce(1).sortWithinPartitions("conv_id", "turn_idx")
+                      .select("rendered"))
+        elif args.format == "json":
+            src = diags.filter(F.col("severity") == "error") \
+                if args.errors_only else diags
+            stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+            fmt_df = rnd.json_document(src, verbose=args.verbose,
+                                       timestamp=stamp)
+        elif args.format == "summary":
+            fmt_df = rnd.summary_text(diags, verbose=args.verbose,
+                                      errors_only=args.errors_only)
+        if fmt_df is not None:
+            fmt_df.write.mode("overwrite").text(f"{report_dir}/{args.format}")
+        if args.show_stats:
+            rnd.stats_text(diags).write.mode("overwrite").text(
+                f"{report_dir}/stats")
 
     report = mx.report()
     print(json.dumps({

@@ -53,3 +53,49 @@ def test_spark_submit_pipeline(spark, tmp_path):
     agg_df = spark.read.json(f"{out_root}/aggregates/severity_counts")
     row = agg_df.collect()[0]
     assert row.total_count == total
+
+
+def test_cli_formatted_reports(spark, tmp_path):
+    """The reference CLI's --format/--verbose/--errors-only/--show-stats
+    surface (BuildLogParserCommand.swift:27-46) on the job entrypoint,
+    run in-process."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "jobs"))
+    import run_pipeline
+
+    from buildlogparser_spark.operators.classify import classify
+    from buildlogparser_spark.transcripts import load_transcripts
+
+    tr_path = str(tmp_path / "tr")
+    load_transcripts(spark, SF_SMOKE).limit(2000).coalesce(2) \
+        .write.parquet(tr_path)
+    out = str(tmp_path / "out")
+    rc = run_pipeline.main([
+        "--input", tr_path, "--output", out, "--n-salt", "4",
+        "--ts-granularity", "month", "--format", "summary",
+        "--verbose", "--show-stats"])
+    assert rc == 0
+    summary = "\n".join(
+        r.value for r in spark.read.text(f"{out}/report/summary").collect())
+    diags = classify(spark.read.parquet(tr_path))
+    assert f"Total Issues Found: {diags.count()}" in summary
+    assert "📋" not in summary  # breakdown header is per-file 📄 sections
+    assert "📄" in summary      # verbose per-file breakdown present
+    stats = "\n".join(
+        r.value for r in spark.read.text(f"{out}/report/stats").collect())
+    assert "🔥 Most issues by file:" in stats
+
+    rc = run_pipeline.main([
+        "--input", tr_path, "--output", str(tmp_path / "out2"),
+        "--n-salt", "4", "--ts-granularity", "month",
+        "--format", "json", "--errors-only"])
+    assert rc == 0
+    import json as _json
+
+    doc = _json.loads("\n".join(
+        r.value for r in spark.read.text(
+            f"{tmp_path}/out2/report/json").collect()))
+    n_err = diags.filter(F.col("severity") == "error").count()
+    assert doc["metadata"]["totalCount"] == n_err
+    assert doc["metadata"]["errorCount"] == n_err
