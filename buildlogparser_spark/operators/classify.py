@@ -99,8 +99,18 @@ def _packed(pat: str, groups: list[int]) -> Column:
     return F.split(F.regexp_replace(_T(), pat, repl), _SEP)
 
 
-def _int_guard_el(arr: Column, idx: int) -> Column:
-    g = F.get(arr, idx)
+def _grp(arr: Column, pat: str, group: int, idx: int, n: int) -> Column:
+    """Read packed group ``idx`` (0-based) from an n-group packed array —
+    falling back to exact per-group extraction when the split is not clean
+    (``size != n``: adversarial text containing the \\x01 separator inside
+    a capture group would otherwise shift fields and diverge from the
+    reference). The fallback branch is regex-per-group but only executes on
+    separator-containing matches, which real logs do not produce."""
+    return F.when(F.size(arr) == n, F.get(arr, idx)).otherwise(_ext(pat, group))
+
+
+def _int_guard_el(arr: Column, pat: str, group: int, idx: int, n: int) -> Column:
+    g = _grp(arr, pat, group, idx, n)
     return F.when(F.length(g) <= 18, g.cast("long")).otherwise(F.lit(None).cast("long"))
 
 
@@ -127,15 +137,15 @@ def classify(transcripts: DataFrame) -> DataFrame:
     r1 = (
         (T.contains("error:") | T.contains("warning:"))  # fastFail gate
         & T.rlike(COMPILE_ERROR_RE)
-        & (F.length(F.get(ce, 1)) <= 18)
-        & (F.length(F.get(ce, 2)) <= 18)
+        & (F.length(_grp(ce, COMPILE_ERROR_RE, 3, 1, 5)) <= 18)
+        & (F.length(_grp(ce, COMPILE_ERROR_RE, 4, 2, 5)) <= 18)
     )
     r2 = T == "** BUILD FAILED **"  # regex is an exact literal (BuildFailedRule.swift:9)
     r3 = T.rlike(r"^--- xcodebuild: WARNING: (.+)$")
     r4 = T.contains("SwiftCompile normal ") & T.rlike(SWIFT_COMPILE_TASK_RE)
     r5 = (
         T.contains("(in target '") & T.rlike(BUILD_COMMAND_RE)
-        & ~F.get(bc, 0).contains("SwiftCompile")
+        & ~_grp(bc, BUILD_COMMAND_RE, 1, 0, 3).contains("SwiftCompile")
     )
     r6 = T.startswith("Undefined symbols for architecture")
     r7a = T.startswith("Test Case")
@@ -187,18 +197,18 @@ def classify(transcripts: DataFrame) -> DataFrame:
     err_msg = F.trim(F.substring(T, F.locate("error:", T) + F.lit(7), F.lit(2 ** 30)))
 
     file_c = (
-        F.when(R == "r1_compile", F.get(ce, 0))
+        F.when(R == "r1_compile", _grp(ce, COMPILE_ERROR_RE, 1, 0, 5))
         .when(R.isin("r7c_assertion", "r7d_test_error"), fi_file)
         .otherwise(null_s)
     )
     line_c = (
-        F.when(R == "r1_compile", _int_guard_el(ce, 1))
+        F.when(R == "r1_compile", _int_guard_el(ce, COMPILE_ERROR_RE, 3, 1, 5))
         .when(R.isin("r7c_assertion", "r7d_test_error"), fi_line)
         .otherwise(null_l)
     )
-    column_c = F.when(R == "r1_compile", _int_guard_el(ce, 2)).otherwise(null_l)
+    column_c = F.when(R == "r1_compile", _int_guard_el(ce, COMPILE_ERROR_RE, 4, 2, 5)).otherwise(null_l)
 
-    r1_sev = F.get(ce, 3)
+    r1_sev = _grp(ce, COMPILE_ERROR_RE, 5, 3, 5)
     severity_c = (
         F.when(R == "r1_compile", r1_sev)
         .when(R == "r3_xcb_warning", "warning")
@@ -211,14 +221,14 @@ def classify(transcripts: DataFrame) -> DataFrame:
     )
 
     message_c = (
-        F.when(R == "r1_compile", F.get(ce, 4))
+        F.when(R == "r1_compile", _grp(ce, COMPILE_ERROR_RE, 6, 4, 5))
         .when(R == "r2_build_failed", "BUILD FAILED")
         .when(R == "r3_xcb_warning", _ext(r"^--- xcodebuild: WARNING: (.+)$", 1))
         .when(R == "r4_swiftcompile_task", F.concat(
-            F.lit("Swift compilation task failed for "), F.get(sct, 0),
-            F.lit(": "), F.get(sct, 1)))
+            F.lit("Swift compilation task failed for "), _grp(sct, SWIFT_COMPILE_TASK_RE, 1, 0, 4),
+            F.lit(": "), _grp(sct, SWIFT_COMPILE_TASK_RE, 2, 1, 4)))
         .when(R == "r5_build_command", F.concat(
-            F.lit("Build command failed: "), F.get(bc, 0)))
+            F.lit("Build command failed: "), _grp(bc, BUILD_COMMAND_RE, 1, 0, 3)))
         .when(R == "r6_linker", T)
         .when(R == "r7a_test_case", F.concat(
             F.lit("Test: "),
@@ -230,10 +240,10 @@ def classify(transcripts: DataFrame) -> DataFrame:
         .when(R == "r7d_test_error", err_msg)
         .when(R == "r9_module_failed", F.concat(
             F.lit("Module compilation failed with exit code "),
-            F.get(mf, 0), F.get(mf, 1)))
+            _grp(mf, MODULE_FAILED_RE, 1, 0, 2), _grp(mf, MODULE_FAILED_RE, 2, 1, 2)))
         .when(R == "r10_progress", F.concat(
-            F.get(pg, 2), F.lit(" "), F.get(pg, 3), F.lit(" ("),
-            F.get(pg, 0), F.lit("/"), F.get(pg, 1), F.lit(")")))
+            _grp(pg, PROGRESS_RE, 3, 2, 4), F.lit(" "), _grp(pg, PROGRESS_RE, 4, 3, 4), F.lit(" ("),
+            _grp(pg, PROGRESS_RE, 1, 0, 4), F.lit("/"), _grp(pg, PROGRESS_RE, 2, 1, 4), F.lit(")")))
     )
 
     source_c = (
@@ -269,12 +279,12 @@ def classify(transcripts: DataFrame) -> DataFrame:
 
     target_c = (
         F.when(R == "r4_swiftcompile_task", F.concat(
-            F.get(sct, 2), F.lit(" ("), F.get(sct, 3), F.lit(")")))
+            _grp(sct, SWIFT_COMPILE_TASK_RE, 3, 2, 4), F.lit(" ("), _grp(sct, SWIFT_COMPILE_TASK_RE, 4, 3, 4), F.lit(")")))
         .when(R == "r5_build_command", F.concat(
-            F.get(bc, 1), F.lit(" ("), F.get(bc, 2), F.lit(")")))
+            _grp(bc, BUILD_COMMAND_RE, 2, 1, 3), F.lit(" ("), _grp(bc, BUILD_COMMAND_RE, 3, 2, 3), F.lit(")")))
         .when(R.isin("r7a_test_case", "r7c_assertion"), test_target)
         .when(R == "r7b_test_suite", suite_name)
-        .when(R == "r10_progress", F.get(pg, 3))
+        .when(R == "r10_progress", _grp(pg, PROGRESS_RE, 4, 3, 4))
         .otherwise(null_s)
     )
 

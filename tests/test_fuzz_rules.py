@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections import Counter
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from buildlogparser_spark.oracle import ParserOracle, parse_lines
 from buildlogparser_spark.rules.table import (
@@ -129,3 +130,33 @@ def test_spark_stateful_on_mutated_corpus(spark):
     assert not missing and not extra, (
         f"missing={list(missing.items())[:3]}\nextra={list(extra.items())[:3]}")
     assert sum(exp.values()) > 100
+
+
+def test_packed_extraction_survives_separator_injection(spark):
+    """classify packs capture groups with an \\x01 separator; adversarial
+    text containing \\x01 INSIDE a group must still extract exactly (the
+    clean-split check falls back to per-group extraction)."""
+    from buildlogparser_spark.operators.classify import classify
+    from buildlogparser_spark.rules.table import CompileErrorRule
+
+    texts = [
+        "/app/F\x01ile.swift:12:3: error: bad \x01 separator in message",
+        "/app/File.swift:7:1: warning: message with \x01\x01 twice",
+        "[3/9] Compiling Mod\x01ule file\x01.swift",
+        "error: emit-module command failed with exit code 2\x01 (tail)",
+    ]
+    rows = [("c0", i, "user", t, "none") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    got = {r.turn_idx: r for r in classify(df).collect()}
+
+    rule = CompileErrorRule()
+    d0 = rule.match_start(texts[0])
+    assert (got[0].file, got[0].line, got[0].column, got[0].severity,
+            got[0].message) == (d0.file, d0.line, d0.column, d0.severity, d0.message)
+    d1 = rule.match_start(texts[1])
+    assert (got[1].file, got[1].message) == (d1.file, d1.message)
+    assert got[2].category == "progress" and "Mod\x01ule" in got[2].message
+    assert got[3].category == "module_failed"
+    assert got[3].message.endswith("2\x01 (tail)")
