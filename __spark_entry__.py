@@ -18,6 +18,7 @@ from buildlogparser_spark.transcripts import TRANSCRIPT_SQL, load_transcripts
 from buildlogparser_spark.operators.classify import classified_sql, classify
 from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
+from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
 from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
@@ -155,6 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
         "simhash_near_pairs": lambda spark, sf: dd.simhash_near_pairs(
             _docs(spark, sf), snapshot_key=sf),
+        # end-to-end curation: exact dedup → near-dup survivors → lang /
+        # quality / length gates — the composed training-corpus pipeline
+        "curated_corpus": lambda spark, sf: cur.curated_corpus(
+            _docs(spark, sf), snapshot_key=sf),
         # --- similarity search --------------------------------------------
         "cosine_topk": lambda spark, sf: sim.cosine_topk(
             _emb(spark, sf), _ANN_QUERY_IDS, k=5),
@@ -276,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
             dd.ngram_jaccard_pairs_sql()),
         "simhash": dd.simhash_sql(),
         "simhash_near_pairs": dd.simhash_near_pairs_sql(),
+        "curated_corpus": cur.curated_corpus_sql(),
         "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
         "embedding_near_dup_exact_sample": sim.embedding_near_dup_sql(
             threshold=0.4, where_sql="WHERE vec_id % 5 = 0"),

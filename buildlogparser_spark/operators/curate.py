@@ -1,0 +1,76 @@
+"""End-to-end training-corpus curation — the composition the individual
+training-data operators exist for: exact dedup → near-dup survivor
+selection (connected components over LSH-verified Jaccard pairs) →
+language gate → quality gate → token-length gate.
+
+Scale shape (10^12 docs): every stage is a hash-aggregate or a
+bucket-equality join — exact dedup groups on a 16-byte digest, near-dup
+candidates come banded (never all-pairs), components converge in
+~diameter rounds of join+min, and the text-stat gates are per-row column
+expressions. Nothing in the chain collects or broadcasts the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import dedup_exact, near_dup_components, ngram_jaccard_pairs
+from .textstats import lang_id, quality_score
+
+
+def curated_corpus(documents: DataFrame, lang: str = "en",
+                   min_quality: float = 0.35, min_tokens: int = 5,
+                   jaccard_threshold: float = 0.5,
+                   snapshot_key: str | None = None) -> DataFrame:
+    """(doc_id, lang_pred, quality, n_tokens) of the curated document set.
+
+    Survivor selection: exact-dup groups keep min(doc_id); near-dup
+    components (over the exact-deduped set) keep their min-id
+    representative — so curation is deterministic and idempotent.
+    ``snapshot_key`` namespaces the LSH signature snapshot to the deduped
+    corpus (distinct from the full-corpus signatures a standalone
+    lsh_candidates call would build).
+    """
+    survivors = dedup_exact(documents).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    docs = documents.join(survivors, "doc_id")
+    key = f"{snapshot_key}:curate" if snapshot_key else None
+    pairs = ngram_jaccard_pairs(docs, threshold=jaccard_threshold,
+                                snapshot_key=key)
+    comp = near_dup_components(docs, pairs)
+    keep = comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
+    kept = docs.join(keep, "doc_id")
+    l = lang_id(kept).select("doc_id", "lang_pred")
+    q = quality_score(kept).select("doc_id", "quality", "n_tokens")
+    return (
+        kept.select("doc_id").join(l, "doc_id").join(q, "doc_id")
+        .filter((F.col("lang_pred") == lang)
+                & (F.col("quality") >= min_quality)
+                & (F.col("n_tokens") >= min_tokens))
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+    )
+
+
+def curated_corpus_sql(lang: str = "en", min_quality: float = 0.35,
+                       min_tokens: int = 5, jaccard_threshold: float = 0.5,
+                       table: str = "documents") -> str:
+    from .dedup import (
+        dedup_exact_sql, near_dup_components_sql, ngram_jaccard_pairs_sql)
+    from .textstats import lang_id_sql, quality_score_sql
+
+    pairs = ngram_jaccard_pairs_sql("docs_d", threshold=jaccard_threshold)
+    return f"""
+WITH docs_d AS (
+  SELECT d.* FROM {table} d
+  JOIN (SELECT keep_doc_id AS doc_id FROM ({dedup_exact_sql(table)}) e) s
+    USING (doc_id)
+),
+comp AS ({near_dup_components_sql(pairs, "docs_d")}),
+keep AS (SELECT doc_id FROM comp WHERE doc_id = component_id),
+l AS ({lang_id_sql("docs_d")}),
+q AS ({quality_score_sql("docs_d")})
+SELECT k.doc_id, l.lang_pred, q.quality, q.n_tokens
+FROM keep k JOIN l USING (doc_id) JOIN q USING (doc_id)
+WHERE l.lang_pred = '{lang}' AND q.quality >= {min_quality}
+  AND q.n_tokens >= {min_tokens}
+"""
