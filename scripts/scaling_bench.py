@@ -78,14 +78,52 @@ def hardware_control() -> dict:
     return {"tput8": t8, "tput32": t32, "ceiling": t32 / (4 * t8)}
 
 
+_ZIP_CACHE: list[str] = []
+
+
+def _package_zip() -> str | None:
+    if _ZIP_CACHE:
+        return _ZIP_CACHE[0]
+    try:
+        sys.path.insert(0, REPO)
+        from buildlogparser_spark.shipping import package_zip
+
+        _ZIP_CACHE.append(package_zip())
+        return _ZIP_CACHE[0]
+    except Exception:
+        return None
+
+
 def run_workers(shards: list[list[str]], cores: int, reps: int) -> list[dict]:
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, "--files", ",".join(s),
-             "--cores", str(cores), "--reps", str(reps)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-        for s in shards
-    ]
+    """One simulated executor per shard. Each worker is a real
+    ``spark-submit --py-files <pkg.zip>`` submission (the north_rule's
+    deployment mode) when spark-submit is on PATH, falling back to plain
+    python otherwise; either way it is a separate pinned JVM process."""
+    import shutil as _sh
+
+    zip_path = _package_zip() if _sh.which("spark-submit") else None
+    procs = []
+    for s in shards:
+        worker_args = ["--files", ",".join(s), "--cores", str(cores),
+                       "--reps", str(reps)]
+        if zip_path:
+            # JVM flags MUST ride the submit line: with spark-submit the
+            # driver JVM is already running before the worker script's
+            # builder executes, so builder-side extraJavaOptions/memory
+            # would be silently ignored — and an un-pinned co-located JVM
+            # sizes GC/JIT pools for all 32 host CPUs and tramples its
+            # neighbors (the exact effect the control experiment measures).
+            cmd = ["spark-submit", "--master", f"local[{cores}]",
+                   "--driver-memory", "8g",
+                   "--conf", f"spark.sql.shuffle.partitions={cores}",
+                   "--conf", "spark.ui.enabled=false",
+                   "--conf", ("spark.driver.extraJavaOptions="
+                              f"-XX:ActiveProcessorCount={cores}"),
+                   "--py-files", zip_path, WORKER, *worker_args]
+        else:
+            cmd = [sys.executable, WORKER, *worker_args]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.DEVNULL, text=True))
     return [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
 
 
@@ -187,9 +225,11 @@ self-measured results are the baseline of record.
 ## Two-cluster-size scaling (north_rule: ≥0.8 between N and 4N executors)
 
 Executors are separate JVM processes pinned to {args.cores} cores
-(`-XX:ActiveProcessorCount`), exactly as a cgroup-capped cluster executor;
-steady-state min-of-{args.reps} timing per worker (cluster executors are
-long-running, JIT is amortized). Job: flagship
+(`-XX:ActiveProcessorCount`), exactly as a cgroup-capped cluster executor,
+each launched as a real `spark-submit --py-files <pkg.zip>` submission
+(the north_rule's deployment mode; plain-python fallback when spark-submit
+is absent); steady-state min-of-{args.reps} timing per worker (cluster
+executors are long-running, JIT is amortized). Job: flagship
 parse→classify→enrich→aggregate.
 
 | cluster size | layout | wall sec | turns/sec |
