@@ -85,7 +85,9 @@ def main() -> None:
         # plan shape pays JVM JIT + whole-stage-codegen compilation (~5s
         # fixed), which at sandbox scale swamps the actual work; production
         # jobs amortize it over hours. Every action is idempotent.
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+        # default 3: this host's vCPUs are oversubscribed and single timings
+        # swing 2-5× between windows — min-of-3 rejects most noise bursts
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
         def timed(name: str, fn) -> None:
             if only and name.split("_")[0] not in only and name not in only:
