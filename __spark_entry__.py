@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_transcripts(spark, sf)),
         "duration_histogram": lambda spark, sf: agg.duration_histogram(
             load_transcripts(spark, sf)),
+        # gap-based sessionization (classic telemetry session window)
+        "session_stats": lambda spark, sf: agg.session_stats(
+            load_transcripts(spark, sf), gap_minutes=1440),
         "enriched_class_counts": lambda spark, sf: enrich(_diags(spark, sf))
             .groupBy("diag_class", "tool_family", "default_severity")
             .agg(F.count("*").alias("n")),
@@ -248,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY conv_id ORDER BY turn_idx) AS step_duration_us
               FROM (""" + TRANSCRIPT_SQL + """) t
             ) dd WHERE step_duration_us > 0 GROUP BY 1"""),
+        "session_stats": agg.session_stats_sql(TRANSCRIPT_SQL, gap_minutes=1440),
         "enriched_class_counts": (
             "SELECT diag_class, tool_family, default_severity, count(*) AS n FROM ("
             + enriched_sql(_DIAG_SELECT)

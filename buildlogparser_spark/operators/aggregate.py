@@ -110,6 +110,70 @@ def step_durations(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(transcripts: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a conversation is
+    idle longer than ``gap_minutes`` (the classic telemetry session window).
+    session_id = running count of gap-breaks per conversation — a single
+    window over (conv_id, turn_idx), same cumsum formulation as segment
+    assembly, so it shuffles once on the natural key. Spark's built-in
+    ``session_window`` gives the same assignment for streaming; this
+    formulation is used on the batch path because it is expressible
+    identically in the DuckDB oracle (and salting/chunking applies to it
+    the same way as to segment assembly if a conversation is hot)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    is_break = (us - F.lag(us).over(w) > gap_us).cast("int")
+    return transcripts.select(
+        "conv_id", "turn_idx", us.alias("ts_us"),
+        F.sum(F.coalesce(is_break, F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long").alias("session_id"),
+    )
+
+
+def session_stats(transcripts: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session roll-up: turns, span, bounds (epoch seconds — integer
+    math, stable to hash across engines)."""
+    s = sessionize(transcripts, gap_minutes)
+    return (
+        s.groupBy("conv_id", "session_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            (F.min("ts_us") / 1_000_000).cast("long").alias("start_epoch_s"),
+            (F.max("ts_us") / 1_000_000).cast("long").alias("end_epoch_s"),
+            ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long")
+            .alias("duration_s"),
+        )
+    )
+
+
+def session_stats_sql(transcripts_cte: str, gap_minutes: int = 30) -> str:
+    """DuckDB twin of session_stats over a transcripts CTE body."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH transcripts AS (
+{transcripts_cte}
+), ticked AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) > {gap_us}
+              THEN 1 ELSE 0 END AS is_break
+  FROM transcripts
+), sess AS (
+  SELECT conv_id, turn_idx, ts_us,
+         CAST(sum(is_break) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ticked
+)
+SELECT conv_id, session_id, count(*) AS n_turns,
+       CAST(min(ts_us) // 1000000 AS BIGINT) AS start_epoch_s,
+       CAST(max(ts_us) // 1000000 AS BIGINT) AS end_epoch_s,
+       CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_s
+FROM sess GROUP BY conv_id, session_id
+"""
+
+
 def duration_histogram(transcripts: DataFrame) -> DataFrame:
     """log2-bucketed histogram of step durations (floor(log2(us)) buckets —
     deterministic integer math, no float binning ambiguity)."""

@@ -111,3 +111,21 @@ def test_route_writes_iceberg_plan_construction(spark, diags):
     msg = str(ei.value)
     assert "catalog" in msg.lower() or "iceberg" in msg.lower() or \
         "TABLE_OR_VIEW_NOT_FOUND" in msg
+
+
+def test_sessionize_gap_semantics(spark):
+    """New session exactly when idle gap exceeds the threshold; bounds and
+    duration from min/max epoch within the session."""
+    from buildlogparser_spark.operators.aggregate import session_stats
+
+    rows = [
+        ("c1", 0, 0), ("c1", 1, 60), ("c1", 2, 120),       # session 0
+        ("c1", 3, 120 + 31 * 60),                           # 31 min gap → 1
+        ("c1", 4, 120 + 31 * 60 + 10),
+        ("c2", 0, 50),                                      # own conv
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, sec long") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    got = {(r.conv_id, r.session_id): (r.n_turns, r.duration_s)
+           for r in session_stats(df, gap_minutes=30).collect()}
+    assert got == {("c1", 0): (3, 120), ("c1", 1): (2, 10), ("c2", 0): (1, 0)}
