@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_files": lambda spark, sf: agg.top_files(_diags(spark, sf)),
         "severity_pct": lambda spark, sf: agg.severity_pct(_diags(spark, sf)),
         "files_affected": lambda spark, sf: agg.files_affected(_diags(spark, sf)),
+        # HLL++ sketch — engine-specific internals, rows-only; accuracy
+        # bounded vs the exact count in pytest
+        "files_affected_approx": lambda spark, sf: agg.files_affected_approx(
+            _diags(spark, sf)),
         "line_byte_counts": lambda spark, sf: agg.line_byte_counts(
             load_transcripts(spark, sf)),
         "duration_histogram": lambda spark, sf: agg.duration_histogram(

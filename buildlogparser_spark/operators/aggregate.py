@@ -48,6 +48,17 @@ def files_affected(diags: DataFrame) -> DataFrame:
         F.count_distinct(F.coalesce(F.col("file"), F.lit("Unknown"))).alias("files_affected"))
 
 
+def files_affected_approx(diags: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct-file count — the 10^12-row path (SURVEY §2.5:
+    exact count_distinct shuffles every distinct value; HLL ships a fixed
+    sketch per partition). Sketch internals are engine-specific, so this is
+    rows-only at the gate; pytest bounds it against the exact count."""
+    return diags.agg(
+        F.approx_count_distinct(
+            F.coalesce(F.col("file"), F.lit("Unknown")), rsd=rsd)
+        .alias("files_affected_approx"))
+
+
 def top_files(diags: DataFrame, k: int = 5) -> DataFrame:
     """Top-K most problematic files (OutputFormatters.swift:396-402).
     Executes as TakeOrderedAndProject — no global sort. Tie-break on file

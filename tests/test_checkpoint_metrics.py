@@ -129,3 +129,13 @@ def test_sessionize_gap_semantics(spark):
     got = {(r.conv_id, r.session_id): (r.n_turns, r.duration_s)
            for r in session_stats(df, gap_minutes=30).collect()}
     assert got == {("c1", 0): (3, 120), ("c1", 1): (2, 10), ("c2", 0): (1, 0)}
+
+
+def test_files_affected_approx_within_rsd(spark, diags):
+    from buildlogparser_spark.operators.aggregate import (
+        files_affected, files_affected_approx)
+
+    exact = files_affected(diags).collect()[0].files_affected
+    approx = files_affected_approx(diags, rsd=0.05).collect()[0] \
+        .files_affected_approx
+    assert abs(approx - exact) <= max(3, 0.15 * exact)
