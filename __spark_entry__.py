@@ -6,6 +6,21 @@ sf0.001. ``queries()``/``oracle_sql()`` expose each implemented operator
 input itself is derived deterministically from the provided ``events`` table
 (see buildlogparser_spark/transcripts.py) so both engines compute over
 identical data.
+
+Driver-environment note (CORRECTNESS_r02): 19 oracle rows failed with
+DuckDB ``Out of Memory Error: Failed to allocate block of 2-256 KB (bad
+allocation)`` — process-level malloc failure in the sweep process while
+co-resident with the Spark JVM, not oracle-size pressure (each oracle is a
+~10k-row query that runs in milliseconds in a fresh DuckDB; all 19 were
+re-verified MATCH). Defenses on this side: (a) ``queries()`` is ordered so
+every DuckDB-oracled query runs FIRST — the Python-worker-spawning
+rows-only queries (``parse_stateful``/``media_features``) run last, after
+the oracle portion of the sweep is done; (b) the classified-diagnostics
+intermediate is snapshot-materialized once per (session, sf) instead of
+re-running the giant regex-cascade codegen for each of ~25 queries —
+flat JVM memory and a much shorter exposure window; (c) each oracle embeds
+a slim per-query classify projection (only the columns that query
+aggregates) rather than the full 17-column cascade.
 """
 
 from __future__ import annotations
@@ -36,18 +51,33 @@ _DIAG_COLS = [
     "severity", "message", "source", "category", "raw", "build_target", "diag_class",
 ]
 
-_DIAG_SQL = "(" + classified_sql(TRANSCRIPT_SQL) + ")"
-_DIAG_SELECT = (
-    "SELECT conv_id, turn_idx, role, tool, rule_id, file, line, \"column\", severity, "
-    "message, source, category, raw, build_target, diag_class FROM " + _DIAG_SQL + " d"
-)
+
+def _diag_sql(cols: list[str]) -> str:
+    """Slim classified-diagnostics SELECT: only ``cols`` are computed."""
+    return classified_sql(TRANSCRIPT_SQL, cols=cols)
+
+
+_DIAG_SELECT = _diag_sql(_DIAG_COLS)
 
 
 _ANN_QUERY_IDS = [1, 2, 3, 4, 5]
 
 
 def _diags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return classify(load_transcripts(spark, sf_dir))
+    """Classified diagnostics, snapshot-materialized once per (session, sf).
+
+    The classify cascade is a >64 KB-codegen expression tree (janino
+    fallback); re-deriving it per query both re-pays the regex work and
+    churns JVM metaspace across a ~50-query sweep. One keyed parquet
+    snapshot (the production pattern: classify output IS a materialized
+    table feeding every downstream sink) keeps each subsequent query a
+    plain pruned parquet scan.
+    """
+    from buildlogparser_spark.materialize import materialize
+
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return materialize(classify(load_transcripts(spark, sf_dir)),
+                       key=f"diags:{sf_dir}", n_files=n)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +98,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so all DuckDB-oracled queries run before any rows-only /
+    Python-worker query (see module docstring, defense (a))."""
     return {
+        # --- transcript & stateless classify (oracled) --------------------
         "transcript_view": lambda spark, sf: load_transcripts(spark, sf).select(
             "conv_id", "turn_idx", "role", "text", "tool"),
         "classify_diagnostics": lambda spark, sf: _diags(spark, sf).select(*_DIAG_COLS),
@@ -84,10 +117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_files": lambda spark, sf: agg.top_files(_diags(spark, sf)),
         "severity_pct": lambda spark, sf: agg.severity_pct(_diags(spark, sf)),
         "files_affected": lambda spark, sf: agg.files_affected(_diags(spark, sf)),
-        # HLL++ sketch — engine-specific internals, rows-only; accuracy
-        # bounded vs the exact count in pytest
-        "files_affected_approx": lambda spark, sf: agg.files_affected_approx(
-            _diags(spark, sf)),
         "line_byte_counts": lambda spark, sf: agg.line_byte_counts(
             load_transcripts(spark, sf)),
         "duration_histogram": lambda spark, sf: agg.duration_histogram(
@@ -98,27 +127,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enriched_class_counts": lambda spark, sf: enrich(_diags(spark, sf))
             .groupBy("diag_class", "tool_family", "default_severity")
             .agg(F.count("*").alias("n")),
+        # --- renders (oracled) --------------------------------------------
         "text_render": lambda spark, sf: rnd.render_text(_diags(spark, sf)),
-        # TextOutput verbose mode over multi-line blocks
-        # (OutputFormatters.swift:53-64): relatedMessages appended with
-        # caret-alignment preservation
-        "text_render_verbose": lambda spark, sf: rnd.render_text_verbose(
-            asm.assemble_compile_blocks(load_transcripts(spark, sf))),
+        "json_projection": lambda spark, sf: rnd.json_projection(_diags(spark, sf)),
+        # DiagnosticMetadata counts row (OutputFormatters.swift:469-477)
+        "json_metadata": lambda spark, sf: rnd.json_metadata(_diags(spark, sf)),
         # SummaryOutput's full verbose report as one aggregate-built string
         # (OutputFormatters.swift:295-361)
         "summary_text": lambda spark, sf: rnd.summary_text(
             _diags(spark, sf), verbose=True),
         # StatsCollector's detailed report (OutputFormatters.swift:377-427)
         "stats_text": lambda spark, sf: rnd.stats_text(_diags(spark, sf)),
-        "json_projection": lambda spark, sf: rnd.json_projection(_diags(spark, sf)),
-        # DiagnosticMetadata counts row (OutputFormatters.swift:469-477)
-        "json_metadata": lambda spark, sf: rnd.json_metadata(_diags(spark, sf)),
-        # the combined {diagnostics, metadata} document
-        # (OutputFormatters.swift:113-131) — one row, one JSON string; JSON
-        # string formatting is engine-specific → rows-only, contract pytest'd
-        "json_document": lambda spark, sf: rnd.json_document(
-            _diags(spark, sf).filter(F.col("severity") == "error")),
-        # --- stateful / multi-line assembly (SURVEY.md §2.2) --------------
+        # TextOutput verbose mode over multi-line blocks
+        # (OutputFormatters.swift:53-64): relatedMessages appended with
+        # caret-alignment preservation
+        "text_render_verbose": lambda spark, sf: rnd.render_text_verbose(
+            asm.assemble_compile_blocks(load_transcripts(spark, sf))),
+        # --- stateful / multi-line assembly (SURVEY.md §2.2, oracled) -----
         "compile_blocks": lambda spark, sf: asm.compile_blocks_flat(
             load_transcripts(spark, sf)),
         # skew-proof chunked formulation — same semantics, same oracle SQL
@@ -132,15 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_transcripts(spark, sf)),
         "linker_blocks": lambda spark, sf: asm.linker_blocks(
             load_transcripts(spark, sf)),
-        # exact consumeLine semantics via applyInPandas — genuinely
-        # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
-        # entry, driver records the rows-only check; pytest proves it equal
-        # to the oracle parser and to compile_blocks on single-rule stacks.
-        # Flat projection: the driver's canonicalization sorts all columns,
-        # so no array<string> output (CORRECTNESS_r01 unhashable-list err).
-        "parse_stateful": lambda spark, sf: asm.parse_stateful_flat(
-            load_transcripts(spark, sf), default_stack),
-        # --- routing (fan-out sink layout) --------------------------------
+        # --- routing (fan-out sink layout, oracled) -----------------------
         "routed_partitions": lambda spark, sf: rt.with_sink_partitions(
             _diags(spark, sf), n_salt=16).select(
             "conv_id", "turn_idx", "severity", "diag_class",
@@ -148,7 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dead_letter_split": lambda spark, sf: load_transcripts(spark, sf).agg(
             F.sum(F.when(F.col("text").isNotNull(), 1).otherwise(0)).alias("n_good"),
             F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_dead")),
-        # --- deduplication (training-data ops) ----------------------------
+        # --- deduplication (training-data ops, oracled) -------------------
         "dedup_exact": lambda spark, sf: dd.dedup_exact(_docs(spark, sf)),
         "minhash_signatures": lambda spark, sf: dd.minhash_signatures_flat(
             _docs(spark, sf)),
@@ -156,8 +173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), snapshot_key=sf),
         "ngram_jaccard_pairs": lambda spark, sf: dd.ngram_jaccard_pairs(
             _docs(spark, sf), snapshot_key=sf),
-        # pairs → dedup groups: transitive closure, survivor = min doc_id
-        "near_dup_components": lambda spark, sf: dd.near_dup_components(
+        # pairs → dedup groups: transitive closure, survivor = min doc_id.
+        # Default = large-star/small-star (O(log n) rounds — the 10^12-doc
+        # path); min-propagation kept as the differential twin in pytest.
+        "near_dup_components": lambda spark, sf: dd.near_dup_components_star(
             _docs(spark, sf),
             dd.ngram_jaccard_pairs(_docs(spark, sf), snapshot_key=sf)),
         "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
@@ -167,30 +186,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality / length gates — the composed training-corpus pipeline
         "curated_corpus": lambda spark, sf: cur.curated_corpus(
             _docs(spark, sf), snapshot_key=sf),
-        # --- similarity search --------------------------------------------
+        # --- similarity search (oracled) ----------------------------------
         "cosine_topk": lambda spark, sf: sim.cosine_topk(
             _emb(spark, sf), _ANN_QUERY_IDS, k=5),
-        # approximate path: candidate set depends on Python-side hyperplane
-        # constants — rows-only check; recall vs cosine_topk asserted in pytest
-        "ann_lsh_topk": lambda spark, sf: sim.lsh_topk(
-            _emb(spark, sf), _ANN_QUERY_IDS, k=5, n_planes=4, n_tables=16),
-        # PRIMARY near-dup path = LSH-blocked (bucket-equality join, never
-        # all-pairs — the 100 TB-safe plan). Approximate by construction →
-        # rows-only; recall vs exact asserted in pytest.
-        "embedding_near_dup": lambda spark, sf: sim.embedding_near_dup_lsh(
-            _emb(spark, sf), threshold=0.4, snapshot_key=sf),
         # exact all-pairs demoted to a SAMPLED verification query (the
         # recall oracle): mod-sampled ids keep the quadratic join bounded
         "embedding_near_dup_exact_sample": lambda spark, sf: sim.embedding_near_dup(
             _emb(spark, sf).filter(F.col("vec_id") % 5 == 0), threshold=0.4),
-        # --- text analysis ------------------------------------------------
+        # --- text analysis (oracled) --------------------------------------
         "lang_id": lambda spark, sf: ts.lang_id(_docs(spark, sf)),
         "token_count": lambda spark, sf: ts.token_count(_docs(spark, sf)),
         "quality_score": lambda spark, sf: ts.quality_score(_docs(spark, sf)),
         "doc_fingerprint": lambda spark, sf: ts.fingerprint(_docs(spark, sf)),
         "doc_language_profile": lambda spark, sf: ts.doc_language_profile(
             _docs(spark, sf)),
-        # --- multimodal plumbing ------------------------------------------
+        # --- multimodal plumbing (oracled rows) ---------------------------
         "media_assets": lambda spark, sf: mm.synthetic_media(spark).select(
             "asset_id", "media_type",
             F.octet_length("blob").cast("long").alias("n_bytes"),
@@ -199,17 +209,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": lambda spark, sf: mm.frame_sample_plan(
             mm.synthetic_media(spark)).select(
             "asset_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")),
-        # decode stub is Python-side (mapInPandas) — rows-only check
+        # ==================================================================
+        # rows-only queries below: no DuckDB oracle; kept after ALL oracled
+        # queries so their Python workers / heavier Spark stages cannot
+        # pressure the co-resident oracle process (module docstring (a)).
+        # ==================================================================
+        # decode stub is Python-side (mapInPandas) — rows-only check.
+        # (r02: this row was missing from CORRECTNESS entirely — it ran
+        # last; now it leads the rows-only tail.)
         "media_features": lambda spark, sf: mm.extract_features(
             mm.synthetic_media(spark)).select(
             "asset_id", "media_type", "n_bytes",
             F.concat_ws(",", F.transform("feature", lambda v: v.cast("string")))
             .alias("feature_csv")),
+        # HLL++ sketch — engine-specific internals, rows-only; accuracy
+        # bounded vs the exact count in pytest
+        "files_affected_approx": lambda spark, sf: agg.files_affected_approx(
+            _diags(spark, sf)),
+        # the combined {diagnostics, metadata} document
+        # (OutputFormatters.swift:113-131) — one row, one JSON string; JSON
+        # string formatting is engine-specific → rows-only, contract pytest'd
+        "json_document": lambda spark, sf: rnd.json_document(
+            _diags(spark, sf).filter(F.col("severity") == "error")),
+        # approximate path: candidate set depends on Python-side hyperplane
+        # constants — rows-only check; recall vs cosine_topk asserted in pytest
+        "ann_lsh_topk": lambda spark, sf: sim.lsh_topk(
+            _emb(spark, sf), _ANN_QUERY_IDS, k=5, n_planes=4, n_tables=16,
+            snapshot_key=sf),
+        # PRIMARY near-dup path = LSH-blocked (bucket-equality join, never
+        # all-pairs — the 100 TB-safe plan). Approximate by construction →
+        # rows-only; recall vs exact asserted in pytest.
+        "embedding_near_dup": lambda spark, sf: sim.embedding_near_dup_lsh(
+            _emb(spark, sf), threshold=0.4, snapshot_key=sf),
+        # exact consumeLine semantics via applyInPandas — genuinely
+        # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
+        # entry, driver records the rows-only check; pytest proves it equal
+        # to the oracle parser and to compile_blocks on single-rule stacks.
+        # Flat projection: the driver's canonicalization sorts all columns,
+        # so no array<string> output (CORRECTNESS_r01 unhashable-list err).
+        "parse_stateful": lambda spark, sf: asm.parse_stateful_flat(
+            load_transcripts(spark, sf), default_stack),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    d = _DIAG_SQL
     return {
         "transcript_view": (
             "SELECT conv_id, turn_idx, role, text, tool FROM (" + TRANSCRIPT_SQL + ") t"),
@@ -220,30 +263,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN severity='warning' THEN 1 ELSE 0 END), 0) AS BIGINT) AS warning_count,
                    CAST(coalesce(sum(CASE WHEN severity='info' THEN 1 ELSE 0 END), 0) AS BIGINT) AS info_count,
                    CAST(coalesce(sum(CASE WHEN severity='note' THEN 1 ELSE 0 END), 0) AS BIGINT) AS note_count
-            FROM {d} dg""",
-        "category_counts": f"SELECT category, count(*) AS n FROM {d} dg GROUP BY category",
+            FROM ({_diag_sql(["severity"])}) dg""",
+        "category_counts": (
+            f"SELECT category, count(*) AS n FROM ({_diag_sql(['category'])}) dg "
+            "GROUP BY category"),
         "errors_only": f"""
             SELECT conv_id, turn_idx, message, severity, file, line, "column"
-            FROM {d} dg WHERE severity = 'error'""",
+            FROM ({_diag_sql(["conv_id", "turn_idx", "message", "severity",
+                              "file", "line", "column"])}) dg
+            WHERE severity = 'error'""",
         "errors_per_tool": f"""
-            SELECT tool, count(*) AS n_errors FROM {d} dg
+            SELECT tool, count(*) AS n_errors
+            FROM ({_diag_sql(["tool", "severity"])}) dg
             WHERE severity = 'error' GROUP BY tool""",
         "warnings_per_conversation": f"""
-            SELECT conv_id, count(*) AS n_warnings FROM {d} dg
+            SELECT conv_id, count(*) AS n_warnings
+            FROM ({_diag_sql(["conv_id", "severity"])}) dg
             WHERE severity = 'warning' GROUP BY conv_id""",
         "per_file_counts": f"""
             SELECT coalesce(file, 'Unknown') AS file, count(*) AS n,
                    CAST(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
                    CAST(sum(CASE WHEN severity='warning' THEN 1 ELSE 0 END) AS BIGINT) AS n_warnings
-            FROM {d} dg GROUP BY 1""",
+            FROM ({_diag_sql(["file", "severity"])}) dg GROUP BY 1""",
         "top_files": f"""
             SELECT coalesce(file, 'Unknown') AS file, count(*) AS n
-            FROM {d} dg GROUP BY 1 ORDER BY n DESC, file ASC LIMIT 5""",
+            FROM ({_diag_sql(["file"])}) dg GROUP BY 1
+            ORDER BY n DESC, file ASC LIMIT 5""",
         "severity_pct": f"""
             SELECT severity, n, round(n * 100.0 / sum(n) OVER (), 2) AS pct
-            FROM (SELECT severity, count(*) AS n FROM {d} dg GROUP BY severity) c""",
+            FROM (SELECT severity, count(*) AS n
+                  FROM ({_diag_sql(["severity"])}) dg GROUP BY severity) c""",
         "files_affected": f"""
-            SELECT count(DISTINCT coalesce(file, 'Unknown')) AS files_affected FROM {d} dg""",
+            SELECT count(DISTINCT coalesce(file, 'Unknown')) AS files_affected
+            FROM ({_diag_sql(["file"])}) dg""",
         "line_byte_counts": (
             "SELECT count(*) AS total_lines, CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes "
             "FROM (" + TRANSCRIPT_SQL + ") t"),
@@ -258,15 +310,18 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": agg.session_stats_sql(TRANSCRIPT_SQL, gap_minutes=1440),
         "enriched_class_counts": (
             "SELECT diag_class, tool_family, default_severity, count(*) AS n FROM ("
-            + enriched_sql(_DIAG_SELECT)
+            + enriched_sql(_diag_sql(["role", "tool", "diag_class"]))
             + ") e GROUP BY diag_class, tool_family, default_severity"),
-        "text_render": rnd.render_text_sql(_DIAG_SELECT),
+        "text_render": rnd.render_text_sql(_diag_sql(
+            ["conv_id", "turn_idx", "file", "line", "severity", "message"])),
         "text_render_verbose": rnd.render_text_verbose_sql(
             asm.compile_blocks_sql(TRANSCRIPT_SQL)),
-        "summary_text": rnd.summary_text_sql(_DIAG_SELECT, verbose=True),
-        "stats_text": rnd.stats_text_sql(_DIAG_SELECT),
-        "json_projection": rnd.json_projection_sql(_DIAG_SELECT),
-        "json_metadata": rnd.json_metadata_sql(_DIAG_SELECT),
+        "summary_text": rnd.summary_text_sql(
+            _diag_sql(["file", "severity"]), verbose=True),
+        "stats_text": rnd.stats_text_sql(_diag_sql(["file", "severity"])),
+        "json_projection": rnd.json_projection_sql(_diag_sql(
+            ["conv_id", "turn_idx", "message", "severity", "file", "line", "column"])),
+        "json_metadata": rnd.json_metadata_sql(_diag_sql(["severity"])),
         "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),
         "compile_blocks_chunked": asm.compile_blocks_sql(TRANSCRIPT_SQL),
         "build_failed_blocks": asm.build_failed_blocks_sql(TRANSCRIPT_SQL),
@@ -274,8 +329,8 @@ def oracle_sql() -> dict[str, str]:
         "routed_partitions": (
             "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("
             + rt.sink_partitions_sql(
-                "SELECT conv_id, turn_idx, ts, severity, diag_class FROM "
-                + d + " dg", n_salt=16)
+                _diag_sql(["conv_id", "turn_idx", "ts", "severity", "diag_class"]),
+                n_salt=16)
             + ") p"),
         "dead_letter_split": (
             "SELECT CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_good, "

@@ -321,9 +321,68 @@ def _sq(pat: str) -> str:
     return "'" + pat.replace("'", "''") + "'"
 
 
-def classified_sql(transcripts_cte: str) -> str:
+#: passthrough columns available without computation (from the transcript)
+_SQL_PASSTHROUGH = ("conv_id", "turn_idx", "role", "text", "tool", "ts", "rule_id")
+#: computed column order of the full (cols=None) projection
+_SQL_COMPUTED = ("file", "line", "column", "severity", "message", "source",
+                 "category", "raw", "build_target")
+
+
+def classified_sql(transcripts_cte: str, cols: list[str] | None = None) -> str:
     """Return SQL text of the classified diagnostics over a transcripts CTE
-    body (a SELECT producing conv_id, turn_idx, role, text, tool, ts)."""
+    body (a SELECT producing conv_id, turn_idx, role, text, tool, ts).
+
+    ``cols`` restricts the output projection (default: everything). Most
+    oracle queries aggregate over one or two diagnostic fields; emitting
+    only those lets DuckDB skip the regex-extract work and string
+    materialization for the other ~12 columns — a deliberately slim oracle,
+    since the driver runs it co-resident with the Spark JVM under memory
+    pressure (CORRECTNESS_r02: 19 driver-side DuckDB OOMs). ``diag_class``
+    pulls in its ``severity``/``category`` dependencies internally without
+    emitting them unless requested."""
+    exprs = _classified_sql_exprs()
+    all_cols = list(_SQL_PASSTHROUGH) + list(_SQL_COMPUTED) + ["diag_class"]
+    if cols is None:
+        cols = all_cols
+    unknown = [c for c in cols if c not in all_cols]
+    if unknown:
+        raise ValueError(f"unknown diagnostic columns: {unknown}")
+    # diags0 computes requested computed cols + diag_class's dependencies
+    inner = [c for c in cols if c != "diag_class"]
+    if "diag_class" in cols:
+        for dep in ("severity", "category"):
+            if dep not in inner:
+                inner.append(dep)
+    sel = []
+    for c in inner:
+        if c in _SQL_PASSTHROUGH:
+            sel.append(c)
+        else:
+            alias = f'"{c}"' if c == "column" else c
+            sel.append(f"{exprs[c]} AS {alias}")
+    out = ", ".join(
+        exprs["diag_class"] + " AS diag_class" if c == "diag_class"
+        else (f'"{c}"' if c == "column" else c)
+        for c in cols)
+    return f"""
+WITH transcripts AS (
+{transcripts_cte}
+), tagged AS (
+  SELECT *, {exprs["rule_id"]} AS rule_id
+  FROM transcripts
+), diags0 AS (
+  SELECT {", ".join(sel)}
+  FROM tagged WHERE rule_id IS NOT NULL
+)
+SELECT {out}
+FROM diags0
+"""
+
+
+def _classified_sql_exprs() -> dict[str, str]:
+    """Per-column SQL expression bodies of the classify cascade (DuckDB
+    dialect), keyed by output column. ``rule_id`` runs over ``transcripts``;
+    the rest run over ``tagged``; ``diag_class`` runs over ``diags0``."""
     ce = _sq(COMPILE_ERROR_RE)
     sct = _sq(SWIFT_COMPILE_TASK_RE)
     bc = _sq(BUILD_COMMAND_RE)
@@ -334,12 +393,8 @@ def classified_sql(transcripts_cte: str) -> str:
     fi = _sq(FILE_INFO_RE)
     xw = _sq(r"^--- xcodebuild: WARNING: (.+)$")
 
-    return f"""
-WITH transcripts AS (
-{transcripts_cte}
-), tagged AS (
-  SELECT *,
-    CASE
+    return {
+        "rule_id": f"""CASE
       WHEN (contains(text, 'error:') OR contains(text, 'warning:'))
            AND regexp_matches(text, {ce})
            AND length(regexp_extract(text, {ce}, 3)) <= 18
@@ -359,32 +414,29 @@ WITH transcripts AS (
       WHEN starts_with(text, 'error: emit-module command failed')
            AND regexp_matches(text, {mf}) THEN 'r9_module_failed'
       WHEN starts_with(text, '[') AND regexp_matches(text, {pg}) THEN 'r10_progress'
-    END AS rule_id
-  FROM transcripts
-), diags0 AS (
-  SELECT conv_id, turn_idx, role, text, tool, ts, rule_id,
-    CASE
+    END""",
+        "file": f"""CASE
       WHEN rule_id = 'r1_compile' THEN regexp_extract(text, {ce}, 1)
       WHEN rule_id IN ('r7c_assertion', 'r7d_test_error') AND regexp_matches(text, {fi})
            THEN regexp_extract(text, {fi}, 1)
-    END AS file,
-    CASE
+    END""",
+        "line": f"""CASE
       WHEN rule_id = 'r1_compile' THEN CAST(regexp_extract(text, {ce}, 3) AS BIGINT)
       WHEN rule_id IN ('r7c_assertion', 'r7d_test_error') AND regexp_matches(text, {fi})
            AND length(regexp_extract(text, {fi}, 2)) <= 18
            THEN CAST(regexp_extract(text, {fi}, 2) AS BIGINT)
-    END AS line,
-    CASE WHEN rule_id = 'r1_compile'
-         THEN CAST(regexp_extract(text, {ce}, 4) AS BIGINT) END AS "column",
-    CASE
+    END""",
+        "column": f"""CASE WHEN rule_id = 'r1_compile'
+         THEN CAST(regexp_extract(text, {ce}, 4) AS BIGINT) END""",
+        "severity": f"""CASE
       WHEN rule_id = 'r1_compile' THEN regexp_extract(text, {ce}, 5)
       WHEN rule_id = 'r3_xcb_warning' THEN 'warning'
       WHEN rule_id = 'r10_progress' THEN 'info'
       WHEN rule_id IN ('r7a_test_case', 'r7b_test_suite')
            THEN CASE WHEN contains(text, 'failed') THEN 'error' ELSE 'info' END
       ELSE 'error'
-    END AS severity,
-    CASE
+    END""",
+        "message": f"""CASE
       WHEN rule_id = 'r1_compile' THEN regexp_extract(text, {ce}, 6)
       WHEN rule_id = 'r2_build_failed' THEN 'BUILD FAILED'
       WHEN rule_id = 'r3_xcb_warning' THEN regexp_extract(text, {xw}, 1)
@@ -421,15 +473,15 @@ WITH transcripts AS (
            THEN regexp_extract(text, {pg}, 3) || ' ' || regexp_extract(text, {pg}, 4)
                 || ' (' || regexp_extract(text, {pg}, 1) || '/'
                 || regexp_extract(text, {pg}, 2) || ')'
-    END AS message,
-    CASE
+    END""",
+        "source": """CASE
       WHEN rule_id = 'r1_compile' THEN 'compiler'
       WHEN rule_id = 'r6_linker' THEN 'linker'
       WHEN rule_id LIKE 'r7%' THEN 'xctest'
       WHEN rule_id IN ('r9_module_failed', 'r10_progress') THEN 'swift-build'
       ELSE 'xcodebuild'
-    END AS source,
-    CASE
+    END""",
+        "category": f"""CASE
       WHEN rule_id = 'r1_compile' THEN regexp_extract(text, {ce}, 5)
       WHEN rule_id = 'r2_build_failed' THEN 'build_failed'
       WHEN rule_id = 'r3_xcb_warning' THEN 'warning'
@@ -450,9 +502,9 @@ WITH transcripts AS (
       WHEN rule_id = 'r7d_test_error' THEN 'test_error'
       WHEN rule_id = 'r9_module_failed' THEN 'module_failed'
       WHEN rule_id = 'r10_progress' THEN 'progress'
-    END AS category,
-    text AS raw,
-    CASE
+    END""",
+        "raw": "text",
+        "build_target": f"""CASE
       WHEN rule_id = 'r4_swiftcompile_task'
            THEN regexp_extract(text, {sct}, 3) || ' (' || regexp_extract(text, {sct}, 4) || ')'
       WHEN rule_id = 'r5_build_command'
@@ -463,11 +515,8 @@ WITH transcripts AS (
            THEN CASE WHEN regexp_matches(text, {sn})
                      THEN regexp_extract(text, {sn}, 1) ELSE 'Unknown Suite' END
       WHEN rule_id = 'r10_progress' THEN regexp_extract(text, {pg}, 4)
-    END AS build_target
-  FROM tagged WHERE rule_id IS NOT NULL
-)
-SELECT *,
-  CASE
+    END""",
+        "diag_class": """CASE
     WHEN category IN ('progress', 'test_start', 'test_success', 'test_info',
                       'test_suite_start', 'test_suite_success', 'test_suite_info',
                       'build_failed') THEN 'step-boundary'
@@ -476,6 +525,5 @@ SELECT *,
     WHEN severity = 'error' THEN 'error'
     WHEN severity = 'warning' THEN 'warning'
     ELSE 'note'
-  END AS diag_class
-FROM diags0
-"""
+  END""",
+    }

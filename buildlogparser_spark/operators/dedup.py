@@ -345,7 +345,88 @@ def near_dup_components(documents: DataFrame, pairs: DataFrame,
         labels = new
         if changed == 0:
             break
+    else:
+        # Silent wrong labels are worse than a loud failure: a component
+        # whose diameter exceeds max_iter would otherwise return partially
+        # propagated ids that diverge from the oracle's transitive closure.
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the dup graph has a longer "
+            "chain than expected; use near_dup_components_star (O(log n) "
+            "rounds) or raise max_iter")
     return labels
+
+
+def near_dup_components_star(documents: DataFrame, pairs: DataFrame,
+                             max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds —
+    the O(log n)-round formulation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14) and the at-scale default: a path graph
+    that takes diameter rounds under single-step min-propagation collapses
+    in O(log n) alternations here. Same output contract as
+    :func:`near_dup_components` (component_id = min doc_id = dedup
+    survivor), differential-tested equal on adversarial long-chain graphs.
+
+    Each round is two (join + hash-aggregate) pairs over the canonical edge
+    list, edges re-materialized per round (bounded lineage, like the
+    min-propagation variant). Convergence = edge set reaches a fixed point
+    (union of stars centered at component minima); the final labels read
+    straight off the star edges.
+    """
+    from ..materialize import materialize
+
+    e = (
+        pairs.select(F.greatest("doc_a", "doc_b").alias("hi"),
+                     F.least("doc_a", "doc_b").alias("lo"))
+        .filter(F.col("hi") != F.col("lo")).distinct()
+    )
+    e = materialize(e)
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        # ---- large-star: every neighbor v > u links to u's min neighbor --
+        nbr = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = (
+            nbr.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        e1 = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo")).distinct()
+        )
+        e1 = materialize(e1)
+        # ---- small-star: each hi node and its smaller neighbors all link
+        # to the minimum of that neighborhood ---------------------------
+        mins2 = e1.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = e1.join(mins2, "hi")
+        e2 = (
+            joined.select(F.col("hi").alias("n"), F.col("m"))
+            .unionByName(joined.select(F.col("lo").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        e2 = materialize(e2)
+        n_new = e2.count()
+        # fixed point: same edge count and nothing in e2 outside e
+        if n_new == n_edges and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, n_edges = e2, n_new
+    else:
+        raise RuntimeError(
+            f"near_dup_components_star did not converge in {max_iter} rounds")
+    comp = e.groupBy("hi").agg(F.min("lo").alias("comp"))
+    return (
+        documents.select("doc_id")
+        .join(comp, documents["doc_id"] == comp["hi"], "left")
+        .select(F.col("doc_id"),
+                F.coalesce(F.col("comp"), F.col("doc_id")).alias("component_id"))
+    )
 
 
 def near_dup_components_sql(pairs_sql: str, table: str = "documents") -> str:

@@ -64,8 +64,11 @@ def render_text_verbose(blocks: DataFrame, errors_only: bool = False) -> DataFra
     line plus one ``    📎`` line per relatedMessage. Caret lines (trimmed
     prefix ``^``) keep their original spacing with no space after the clip
     emoji — alignment is load-bearing (the caret points at a column); other
-    related lines get the standard ``📎 `` spacing. Input: any
-    STATEFUL_SCHEMA-shaped block DataFrame (multi-line assembly output)."""
+    related lines get the standard ``📎 `` spacing. The caret check trims
+    the reference's ``.whitespaces`` set (tab + Unicode category Zs, so NBSP
+    etc. count too) — ``[\\t\\p{Zs}]`` is the portable spelling both Java
+    regex and RE2 accept. Input: any STATEFUL_SCHEMA-shaped block DataFrame
+    (multi-line assembly output)."""
     if errors_only:
         blocks = blocks.filter(F.col("severity") == "error")
     with_loc = F.concat(
@@ -79,7 +82,7 @@ def render_text_verbose(blocks: DataFrame, errors_only: bool = False) -> DataFra
     rel = F.transform(
         F.col("related_messages"),
         lambda m: F.when(
-            F.startswith(F.regexp_replace(m, r"^[ \t]+", ""), F.lit("^")),
+            F.startswith(F.regexp_replace(m, r"^[\t\p{Zs}]+", ""), F.lit("^")),
             F.concat(F.lit("    📎"), m),
         ).otherwise(F.concat(F.lit("    📎 "), m)),
     )
@@ -101,7 +104,7 @@ def render_text_verbose_sql(blocks_select: str, errors_only: bool = False) -> st
             || severity || ' - ' || message
        ELSE {icon} || ' ' || severity || ' - ' || message END"""
     rel = r"""array_to_string(list_transform(string_split(related_joined, chr(10)),
-      m -> CASE WHEN starts_with(regexp_replace(m, '^[ \t]+', '', 'g'), '^')
+      m -> CASE WHEN starts_with(regexp_replace(m, '^[\t\p{Zs}]+', '', 'g'), '^')
                 THEN '    📎' || m ELSE '    📎 ' || m END), chr(10))"""
     return f"""
 SELECT conv_id, start_turn_idx,
@@ -176,7 +179,11 @@ def summary_text(diags: DataFrame, verbose: bool = False,
         cnt("i", "ℹ️  Info: "), cnt("nt", "📝 Notes: "),
         F.when(F.col("total") == 0,
                F.lit("\n🎉 No issues found! Build log looks clean.\n"))
-        .otherwise(F.col("brk") if verbose else F.lit("")),
+        .otherwise(
+            # generateFileBreakdown prepends its section header
+            # (OutputFormatters.swift:344-345)
+            F.concat(F.lit("\n📋 Issue Breakdown by File:\n"), F.col("brk"))
+            if verbose else F.lit("")),
         F.lit("\n✅ Analysis completed\n"),
     )
     return tot.select(body.alias("summary"))
@@ -185,7 +192,9 @@ def summary_text(diags: DataFrame, verbose: bool = False,
 def summary_text_sql(diagnostics_select: str, verbose: bool = False,
                      errors_only: bool = False) -> str:
     where = "WHERE severity = 'error'" if errors_only else ""
-    brk_or_empty = "coalesce(brk, '')" if verbose else "''"
+    brk_or_empty = (
+        "chr(10) || '📋 Issue Breakdown by File:' || chr(10) || coalesce(brk, '')"
+        if verbose else "''")
     return f"""
 WITH d AS (SELECT * FROM ({diagnostics_select}) dd {where}),
 pf AS (
@@ -339,13 +348,16 @@ def json_metadata(diags: DataFrame, verbose: bool = False) -> DataFrame:
     reference also stamps wall-clock ``timestamp`` — nondeterministic, so it
     is excluded from the graded row; :func:`json_document` (the job-side
     writer) stamps it."""
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0).cast("long"))  # noqa: E731
     return (
         diags.agg(
             F.count("*").alias("total_count"),
-            F.sum((F.col("severity") == "error").cast("long")).alias("error_count"),
-            F.sum((F.col("severity") == "warning").cast("long")).alias("warning_count"),
-            F.sum((F.col("severity") == "info").cast("long")).alias("info_count"),
-            F.sum((F.col("severity") == "note").cast("long")).alias("note_count"),
+            # coalesce: on empty input sum() is NULL but the reference (and
+            # the SQL twin) count 0 (OutputFormatters.swift:469-477)
+            zsum((F.col("severity") == "error").cast("long")).alias("error_count"),
+            zsum((F.col("severity") == "warning").cast("long")).alias("warning_count"),
+            zsum((F.col("severity") == "info").cast("long")).alias("info_count"),
+            zsum((F.col("severity") == "note").cast("long")).alias("note_count"),
         )
         .withColumn("verbose", F.lit(verbose))
     )
@@ -390,13 +402,14 @@ def json_document(diags: DataFrame, verbose: bool = False,
             F.col("related_messages").alias("relatedMessages"),
         ).alias("payload"),
     )
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0).cast("long"))  # noqa: E731
     agg = diags.agg(
         F.array_sort(F.collect_list(item)).alias("items"),
         F.count("*").alias("totalCount"),
-        F.sum((F.col("severity") == "error").cast("long")).alias("errorCount"),
-        F.sum((F.col("severity") == "warning").cast("long")).alias("warningCount"),
-        F.sum((F.col("severity") == "info").cast("long")).alias("infoCount"),
-        F.sum((F.col("severity") == "note").cast("long")).alias("noteCount"),
+        zsum((F.col("severity") == "error").cast("long")).alias("errorCount"),
+        zsum((F.col("severity") == "warning").cast("long")).alias("warningCount"),
+        zsum((F.col("severity") == "info").cast("long")).alias("infoCount"),
+        zsum((F.col("severity") == "note").cast("long")).alias("noteCount"),
     )
     doc = F.to_json(
         F.struct(

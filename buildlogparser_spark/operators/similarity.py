@@ -99,10 +99,16 @@ def lsh_bucket(unit: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-             n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> DataFrame:
+             n_planes: int = 8, n_tables: int = 4, dim: int = 64,
+             snapshot_key: str | None = None) -> DataFrame:
     """Banded random-hyperplane ANN: same output schema as cosine_topk but
     only candidates sharing an LSH bucket (any table) are scored. May miss
-    true neighbors (approximate); recall measured in tests vs cosine_topk."""
+    true neighbors (approximate); recall measured in tests vs cosine_topk.
+
+    ``snapshot_key`` memoizes the banded corpus (unit vectors + bucket ids
+    per table) to a keyed parquet snapshot, like
+    :func:`embedding_near_dup_lsh` — repeated top-k calls against the same
+    corpus then skip the normalize+hash recompute and scan the snapshot."""
     base = with_unit_vectors(embeddings).select("vec_id", "unit")
     tables = []
     for t in range(n_tables):
@@ -113,6 +119,11 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     banded = tables[0]
     for t in tables[1:]:
         banded = banded.unionByName(t)
+    if snapshot_key is not None:
+        from ..materialize import materialize
+
+        banded = materialize(
+            banded, key=f"annband:{snapshot_key}:{n_planes}:{n_tables}:{dim}")
 
     queries = banded.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"),

@@ -83,11 +83,32 @@ def test_summary_text_verbose(spark):
         "Total Issues Found: 2\n"
         "❌ Errors: 1\n"
         "⚠️  Warnings: 1\n"
+        # generateFileBreakdown's section header (OutputFormatters.swift:345)
+        "\n📋 Issue Breakdown by File:\n"
         "\n📄 /a/File.swift:\n   ❌ 1 error(s)\n"
         "\n📄 Unknown:\n   ⚠️  1 warning(s)\n"
         "\n✅ Analysis completed\n"
     )
     assert out == expected
+
+
+def test_json_metadata_empty_input_counts_zero(spark):
+    # empty input: sum() is NULL in Spark — the reference emits 0 counts
+    empty = _blocks(spark).filter(F.col("severity") == "nope")
+    row = rnd.json_metadata(empty).collect()[0]
+    assert (row.total_count, row.error_count, row.warning_count,
+            row.info_count, row.note_count) == (0, 0, 0, 0, 0)
+
+
+def test_render_text_verbose_unicode_whitespace_caret(spark):
+    # NBSP-indented caret: the reference trims the Unicode .whitespaces set,
+    # so the line still counts as a caret (no space after 📎)
+    rows = [("c1", 0, "/a/F.swift", 1, 1, "error", "m",
+             ["  ^"], "compiler", "error", "raw", None)]
+    from buildlogparser_spark.operators.assemble import STATEFUL_SCHEMA
+    df = spark.createDataFrame(rows, STATEFUL_SCHEMA)
+    out = rnd.render_text_verbose(df).collect()[0].rendered
+    assert out.split("\n")[1] == "    📎  ^"
 
 
 def test_summary_text_happy_path(spark):

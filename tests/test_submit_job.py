@@ -80,7 +80,9 @@ def test_cli_formatted_reports(spark, tmp_path):
         r.value for r in spark.read.text(f"{out}/report/summary").collect())
     diags = classify(spark.read.parquet(tr_path))
     assert f"Total Issues Found: {diags.count()}" in summary
-    assert "📋" not in summary  # breakdown header is per-file 📄 sections
+    # generateFileBreakdown prepends its section header before the
+    # per-file 📄 sections (OutputFormatters.swift:344-345)
+    assert "\n📋 Issue Breakdown by File:\n" in summary
     assert "📄" in summary      # verbose per-file breakdown present
     stats = "\n".join(
         r.value for r in spark.read.text(f"{out}/report/stats").collect())
