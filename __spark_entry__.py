@@ -29,7 +29,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from buildlogparser_spark.transcripts import TRANSCRIPT_SQL, load_transcripts
+from buildlogparser_spark.transcripts import (
+    AUX_TRANSCRIPT_SQL, TRANSCRIPT_SQL, load_aux_transcripts, load_transcripts)
 from buildlogparser_spark.operators.classify import classified_sql, classify
 from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
@@ -157,6 +158,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_transcripts(spark, sf)),
         "linker_blocks": lambda spark, sf: asm.linker_blocks(
             load_transcripts(spark, sf)),
+        # R8 swift-build 5.9+ gutter blocks and R3 warning detail bodies
+        # (SwiftBuildCompileErrorRule.swift:24-41, XcodebuildWarningRule
+        # .swift:47) over the aux modern-toolchain stream; R7 XCTest failure
+        # blocks (XCTestRule.swift:46-65) over the primary stream — with
+        # these, every multi-line shape in the reference has a scale-path
+        # oracled query and parse_stateful is only the arbitrary-stack
+        # escape hatch.
+        "swiftbuild_compile_blocks": lambda spark, sf: asm.swiftbuild_compile_blocks(
+            load_aux_transcripts(spark, sf)),
+        "xcodebuild_warning_blocks": lambda spark, sf: asm.xcodebuild_warning_blocks(
+            load_aux_transcripts(spark, sf)),
+        "xctest_blocks": lambda spark, sf: asm.xctest_blocks(
+            load_transcripts(spark, sf)),
         # --- routing (fan-out sink layout, oracled) -----------------------
         "routed_partitions": lambda spark, sf: rt.with_sink_partitions(
             _diags(spark, sf), n_salt=16).select(
@@ -231,6 +245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # string formatting is engine-specific → rows-only, contract pytest'd
         "json_document": lambda spark, sf: rnd.json_document(
             _diags(spark, sf).filter(F.col("severity") == "error")),
+        # sharded variant (ROADMAP #5): one document per md5(conv_id) shard,
+        # no single-reducer bound — partition-of-unsharded contract pytest'd
+        "json_document_sharded": lambda spark, sf: rnd.json_document_sharded(
+            _diags(spark, sf).filter(F.col("severity") == "error"), n_shards=16),
         # approximate path: candidate set depends on Python-side hyperplane
         # constants — rows-only check; recall vs cosine_topk asserted in pytest
         "ann_lsh_topk": lambda spark, sf: sim.lsh_topk(
@@ -326,6 +344,11 @@ def oracle_sql() -> dict[str, str]:
         "compile_blocks_chunked": asm.compile_blocks_sql(TRANSCRIPT_SQL),
         "build_failed_blocks": asm.build_failed_blocks_sql(TRANSCRIPT_SQL),
         "linker_blocks": asm.linker_blocks_sql(TRANSCRIPT_SQL),
+        "swiftbuild_compile_blocks": asm.swiftbuild_compile_blocks_sql(
+            AUX_TRANSCRIPT_SQL),
+        "xcodebuild_warning_blocks": asm.xcodebuild_warning_blocks_sql(
+            AUX_TRANSCRIPT_SQL),
+        "xctest_blocks": asm.xctest_blocks_sql(TRANSCRIPT_SQL),
         "routed_partitions": (
             "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("
             + rt.sink_partitions_sql(

@@ -38,7 +38,8 @@ from buildlogparser_spark.transcripts import derive_transcripts  # noqa: E402
 from buildlogparser_spark.operators.classify import classify  # noqa: E402
 from buildlogparser_spark.operators import aggregate as agg  # noqa: E402
 from buildlogparser_spark.operators.assemble import (  # noqa: E402
-    assemble_compile_blocks, assemble_compile_blocks_chunked, parse_stateful)
+    assemble_compile_blocks, assemble_compile_blocks_chunked, parse_stateful,
+    swiftbuild_compile_blocks, xctest_blocks)
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import dedup, similarity, textstats  # noqa: E402
@@ -89,15 +90,22 @@ def main() -> None:
         # swing 2-5× between windows — min-of-3 rejects most noise bursts
         reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+        medians: dict[str, float] = {}
+
         def timed(name: str, fn) -> None:
             if only and name.split("_")[0] not in only and name not in only:
                 return
-            best = float("inf")
+            times = []
             for _ in range(reps):
                 t0 = time.time()
                 fn()
-                best = min(best, time.time() - t0)
-            queries[name] = round(best, 3)
+                times.append(time.time() - t0)
+            times.sort()
+            # min = steady-state number of record; median recorded alongside
+            # so a noise burst is visible instead of silently shaping the
+            # narrative (VERDICT r02 item 5)
+            queries[name] = round(times[0], 3)
+            medians[name] = round(times[len(times) // 2], 3)
 
         diags = classify(transcripts)
         # flagship: parse → classify → enrich → per-sink aggregate
@@ -128,14 +136,23 @@ def main() -> None:
         timed("q13_cosine_topk", lambda: similarity.cosine_topk(
             embeddings, query_ids=[1, 2, 3, 4, 5], k=5).collect())
         timed("q14_quality_score", lambda: textstats.quality_score(documents).count())
+        # round-3 additions (kept OUT of the r01/r02-comparable sum below):
+        # the remaining multi-line shapes via the generic chunked assembler
+        timed("q15_swiftbuild_blocks",
+              lambda: swiftbuild_compile_blocks(transcripts).count())
+        timed("q16_xctest_blocks", lambda: xctest_blocks(transcripts).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
+        r02_set = {q: s for q, s in queries.items()
+                   if q not in ("q15_swiftbuild_blocks", "q16_xctest_blocks")}
         print(json.dumps({
             "metric": "e2e_bench_sec",
             "value": total,
             "unit": "sec",
             "queries": queries,
+            "queries_median": medians,
+            "value_r02_comparable": round(sum(r02_set.values()), 3),
             "sf": sf,
             "cores": cores,
             "n_turns": n_turns,

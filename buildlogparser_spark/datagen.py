@@ -99,6 +99,17 @@ def _swiftbuild_block(rng: random.Random) -> list[str]:
     return lines
 
 
+def _warning_block(rng: random.Random) -> list[str]:
+    lines = [f"--- xcodebuild: WARNING: legacy setting id {rng.randrange(30)}"]
+    for _ in range(rng.randrange(0, 3)):
+        lines.append(f"{{ platform:iOS Simulator, OS:17.{rng.randrange(10)},"
+                     f" name:iPhone {rng.randrange(8, 16)} }}")
+    if rng.random() < 0.5:
+        lines.append("}")
+    lines.append(rng.choice(["", "** BUILD FAILED **"]))
+    return lines
+
+
 def _noise(rng: random.Random) -> list[str]:
     return [rng.choice([
         "Building for debugging...",
@@ -115,7 +126,7 @@ def _noise(rng: random.Random) -> list[str]:
 
 
 _BLOCKS = [_compile_block, _linker_block, _build_failed_block, _test_block,
-           _swiftbuild_block, _noise, _noise]
+           _swiftbuild_block, _warning_block, _noise, _noise]
 
 
 def gen_conversations(seed: int, n_convs: int, approx_turns: int = 40):

@@ -63,7 +63,16 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from ..rules.table import COMPILE_ERROR_RE, Rule
+from ..rules.table import (
+    COMPILE_ERROR_RE,
+    CONTEXT_LINE_RE,
+    ERROR_POINTER_RE,
+    FILE_INFO_RE,
+    Rule,
+    SUITE_NAME_RE,
+    TEST_NAME_RE,
+    XCODEBUILD_WARNING_RE,
+)
 
 STATEFUL_SCHEMA = StructType([
     StructField("conv_id", StringType()),
@@ -314,12 +323,24 @@ def assemble_blocks(transcripts: DataFrame, is_start, is_close, is_cont,
 
     Returns (conv_id, seg, start_turn_idx, header, related_messages).
     """
-    df = (
+    return assemble_flagged(
         transcripts.select("conv_id", "turn_idx", "text")
-        .withColumn("chunk", F.floor(F.col("turn_idx") / chunk_size))
         .withColumn("is_start", is_start)
         .withColumn("is_close", is_close)
-        .withColumn("is_cont", is_cont)
+        .withColumn("is_cont", is_cont),
+        chunk_size=chunk_size,
+    )
+
+
+def assemble_flagged(flagged: DataFrame, chunk_size: int = 65536) -> DataFrame:
+    """Core of :func:`assemble_blocks` over an input that already carries
+    boolean ``is_start``/``is_close``/``is_cont`` columns — for rules whose
+    predicates need context beyond the line itself (e.g. XCTest's
+    state-dependent assertion-start, see :func:`xctest_blocks`)."""
+    df = (
+        flagged.select("conv_id", "turn_idx", "text",
+                       "is_start", "is_close", "is_cont")
+        .withColumn("chunk", F.floor(F.col("turn_idx") / chunk_size))
     )
     w_local = (
         Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
@@ -437,7 +458,7 @@ def _blocks_sql(transcripts_cte: str, start_sql: str, close_sql: str,
                 cont_sql: str) -> str:
     """DuckDB twin of :func:`assemble_blocks`: produces
     (conv_id, seg, start_turn_idx, header, n_related, related_joined)."""
-    return f"""
+    flagged = f"""
 WITH transcripts AS (
 {transcripts_cte}
 ), flags AS (
@@ -446,11 +467,22 @@ WITH transcripts AS (
          ({close_sql}) AS is_close,
          ({cont_sql}) AS is_cont
   FROM transcripts
+)
+SELECT * FROM flags"""
+    return _blocks_sql_flagged(flagged)
+
+
+def _blocks_sql_flagged(flagged_cte: str) -> str:
+    """DuckDB twin of :func:`assemble_flagged` over a CTE body producing
+    (conv_id, turn_idx, text, is_start, is_close, is_cont)."""
+    return f"""
+WITH flagged AS (
+{flagged_cte}
 ), seg AS (
   SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END)
               OVER (PARTITION BY conv_id ORDER BY turn_idx
                     ROWS UNBOUNDED PRECEDING) AS seg
-  FROM flags
+  FROM flagged
 ), cl AS (
   SELECT *, min(CASE WHEN is_close AND NOT is_start THEN turn_idx END)
               OVER (PARTITION BY conv_id, seg) AS first_close
@@ -607,3 +639,375 @@ def assemble_compile_blocks_chunked(transcripts: DataFrame,
         header.alias("raw"),
         F.lit(None).cast("string").alias("build_target"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R8 swift-build 5.9+ gutter blocks and R3 xcodebuild warning bodies —
+# the remaining single-rule multi-line shapes, via the generic assembler.
+# ---------------------------------------------------------------------------
+
+_BLANK_TRIM_RE = r"^\s+|\s+$"
+
+
+def swiftbuild_compile_blocks(transcripts: DataFrame) -> DataFrame:
+    """R8 SwiftBuildCompileErrorRule blocks (swift-build 5.9+ diagnostics):
+    a compile-error header (same start regex as R1 with Int-overflow guards,
+    SwiftBuildCompileErrorRule.swift:13,66-70) opens a block; ``N | code``
+    gutter context (:24), ``| `- sev: msg`` pointers (:35) and blank lines
+    (:104) append to related_messages; a new header, an
+    ``error: …command failed`` line or a ``[i/n] … Compiling`` progress line
+    closes it (:118-128). Single-rule consumeLine
+    (BuildLogParser.swift:327-364): the close line itself is not collected
+    (isEnd wins), and lines matching no predicate are dropped in place with
+    the block still open. Blank detection uses the ASCII ``\\s`` class in
+    both engines (reference trims Unicode ``.whitespaces`` — documented
+    ASCII-only restriction, same as render_text_verbose)."""
+    T = F.col("text")
+    is_start = (
+        (T.contains("error:") | T.contains("warning:"))
+        & T.rlike(COMPILE_ERROR_RE)
+        & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 3)) <= 18)
+        & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 4)) <= 18)
+    )
+    is_close = (
+        (T.startswith("error: ") & T.contains("command failed"))
+        | (T.startswith("[") & T.contains("]") & T.contains("Compiling"))
+    )
+    is_cont = (
+        T.rlike(CONTEXT_LINE_RE)
+        | T.rlike(ERROR_POINTER_RE)
+        | (F.length(F.regexp_replace(T, _BLANK_TRIM_RE, "")) == 0)
+    )
+    blocks = assemble_blocks(transcripts, is_start, is_close, is_cont)
+    header = F.col("header")
+    sev = F.regexp_extract(header, COMPILE_ERROR_RE, 5)
+    out = blocks.select(
+        "conv_id", "start_turn_idx",
+        F.regexp_extract(header, COMPILE_ERROR_RE, 1).alias("file"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 3).cast("long").alias("line"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 4).cast("long").alias("column"),
+        sev.alias("severity"),
+        F.regexp_extract(header, COMPILE_ERROR_RE, 6).alias("message"),
+        F.lit("swift-build").alias("source"),
+        F.concat(F.lit("compile_"), sev).alias("category"),
+        header.alias("raw"),
+        "related_messages",
+    )
+    return _flat_related(out, [
+        "conv_id", "start_turn_idx", "file", "line", "column", "severity",
+        "message", "source", "category", "raw"])
+
+
+def swiftbuild_compile_blocks_sql(transcripts_cte: str) -> str:
+    ce = "'" + COMPILE_ERROR_RE.replace("'", "''") + "'"
+    ctx = "'" + CONTEXT_LINE_RE.replace("'", "''") + "'"
+    ptr = "'" + ERROR_POINTER_RE.replace("'", "''") + "'"
+    start = (f"(contains(text, 'error:') OR contains(text, 'warning:')) "
+             f"AND regexp_matches(text, {ce}) "
+             f"AND length(regexp_extract(text, {ce}, 3)) <= 18 "
+             f"AND length(regexp_extract(text, {ce}, 4)) <= 18")
+    close = ("(starts_with(text, 'error: ') AND contains(text, 'command failed')) "
+             "OR (starts_with(text, '[') AND contains(text, ']') "
+             "AND contains(text, 'Compiling'))")
+    cont = (f"regexp_matches(text, {ctx}) OR regexp_matches(text, {ptr}) "
+            f"OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0")
+    inner = _blocks_sql(transcripts_cte, start, close, cont)
+    return f"""
+SELECT conv_id, start_turn_idx,
+  regexp_extract(header, {ce}, 1) AS file,
+  CAST(regexp_extract(header, {ce}, 3) AS BIGINT) AS line,
+  CAST(regexp_extract(header, {ce}, 4) AS BIGINT) AS "column",
+  regexp_extract(header, {ce}, 5) AS severity,
+  regexp_extract(header, {ce}, 6) AS message,
+  'swift-build' AS source,
+  'compile_' || regexp_extract(header, {ce}, 5) AS category,
+  header AS raw, n_related, related_joined
+FROM ({inner}) b
+"""
+
+
+def xcodebuild_warning_blocks(transcripts: DataFrame) -> DataFrame:
+    """R3 XcodeBuildWarningRule blocks: ``--- xcodebuild: WARNING:`` header
+    + ``{{ platform:`` / ``}}`` detail-body continuations
+    (XcodebuildWarningRule.swift:12,47), closed by a blank line or
+    ``** BUILD FAILED **`` (:50-54)."""
+    T = F.col("text")
+    is_start = T.rlike(XCODEBUILD_WARNING_RE)
+    is_close = (
+        (F.length(F.regexp_replace(T, _BLANK_TRIM_RE, "")) == 0)
+        | T.startswith("** BUILD FAILED **")
+    )
+    is_cont = T.startswith("{ platform:") | T.startswith("}")
+    blocks = assemble_blocks(transcripts, is_start, is_close, is_cont)
+    header = F.col("header")
+    out = blocks.select(
+        "conv_id", "start_turn_idx",
+        F.lit("warning").alias("severity"),
+        F.regexp_extract(header, XCODEBUILD_WARNING_RE, 1).alias("message"),
+        F.lit("xcodebuild").alias("source"),
+        F.lit("warning").alias("category"),
+        header.alias("raw"),
+        "related_messages",
+    )
+    return _flat_related(out, [
+        "conv_id", "start_turn_idx", "severity", "message", "source",
+        "category", "raw"])
+
+
+def xcodebuild_warning_blocks_sql(transcripts_cte: str) -> str:
+    xw = "'" + XCODEBUILD_WARNING_RE.replace("'", "''") + "'"
+    start = f"regexp_matches(text, {xw})"
+    close = ("length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 "
+             "OR starts_with(text, '** BUILD FAILED **')")
+    cont = "starts_with(text, '{ platform:') OR starts_with(text, '}')"
+    inner = _blocks_sql(transcripts_cte, start, close, cont)
+    return f"""
+SELECT conv_id, start_turn_idx,
+  'warning' AS severity,
+  regexp_extract(header, {xw}, 1) AS message,
+  'xcodebuild' AS source, 'warning' AS category, header AS raw,
+  n_related, related_joined
+FROM ({inner}) b
+"""
+
+
+# ---------------------------------------------------------------------------
+# R7 XCTest failure blocks. The only state-DEPENDENT start predicate in the
+# reference: an XCTAssert-failure line is a new assertion block only while
+# no test-category block is open — once it is, the same line is a
+# continuation (matchContinuation wins, XCTestRule.swift:46-57, checked
+# before matchStart in consumeLine). The state admits a closed form: the
+# open category can only become test-flavored at the conversation's first
+# Test Case/Suite header or test-error start, and from then on every start
+# (header or test_error) is again test-flavored — so "a test block is open"
+# ⇔ "turn_idx > first T/E turn", one hash-aggregated min per conversation.
+# ---------------------------------------------------------------------------
+
+
+def xctest_blocks(transcripts: DataFrame) -> DataFrame:
+    """R7 XCTestRule single-rule blocks (XCTestRule.swift:22-65).
+
+    Line classes (matchStart order, :24-42): T = ``Test Case``/``Test
+    Suite`` headers; A = XCTAssert failures; E = generic ``error:``+``test``
+    failures; C-shape = the continuation predicate (4-space indent /
+    XCTAssert / Expected: / Actual: / Difference:, :51-56). With
+    ``otf = min(turn of T∨E)`` per conversation (the point after which a
+    test-category block is always open — see block comment):
+
+      * is_start: every T; A before otf (assertion_failure opens only from
+        a non-test state, since category 'assertion_failure' fails the
+        continuation guard :50); E at otf or non-C-shaped after it.
+      * is_cont: C-shaped lines after otf (includes A — XCTAssert ⊆ C).
+      * no close predicate: isEnd lines (:59-65) are exactly the T headers,
+        which restart; assertion blocks collect nothing (guard :50).
+
+    Differential-tested equal to the oracle single-rule XCTestRule stack.
+    """
+    T = F.col("text")
+    t_line = T.startswith("Test Case") | T.startswith("Test Suite")
+    a_line = ~t_line & T.contains("XCTAssert") & T.contains("failed")
+    e_line = ~t_line & ~a_line & T.contains("error:") & T.contains("test")
+    c_shape = (
+        T.startswith("    ") | T.contains("XCTAssert") | T.contains("Expected:")
+        | T.contains("Actual:") | T.contains("Difference:")
+    )
+    df = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .withColumn("t_line", t_line)
+        .withColumn("a_line", a_line)
+        .withColumn("e_line", e_line)
+        .withColumn("c_shape", c_shape)
+    )
+    # one row per conversation — hash agg + shuffle join on conv_id (the key
+    # the assembly shuffles on anyway); no whole-conversation window sort
+    otf = (
+        df.filter(F.col("t_line") | F.col("e_line"))
+        .groupBy("conv_id").agg(F.min("turn_idx").alias("otf"))
+    )
+    df = df.join(otf, "conv_id", "left")
+    OTF = F.coalesce(F.col("otf"), F.lit(1 << 62))
+    is_start = (
+        F.col("t_line")
+        | (F.col("a_line") & (F.col("turn_idx") < OTF))
+        | (F.col("e_line") & ((F.col("turn_idx") == OTF) | ~F.col("c_shape")))
+    )
+    flagged = (
+        df.withColumn("is_start", is_start)
+        .withColumn("is_close", F.lit(False))
+        .withColumn("is_cont",
+                    ~is_start & (F.col("turn_idx") > OTF) & F.col("c_shape"))
+    )
+    blocks = assemble_flagged(flagged)
+
+    # header extraction per start kind — same expressions as the stateless
+    # classify r7a-r7d arms (operators/classify.py), applied to the header
+    h = F.col("header")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    status = (
+        F.when(h.contains("failed"), "Failed")
+        .when(h.contains("passed"), "Passed")
+        .when(h.contains("started"), "Started")
+        .otherwise("Info")
+    )
+    name_hit = h.rlike(TEST_NAME_RE)
+    name = F.regexp_extract(h, TEST_NAME_RE, 1)
+    target = F.when(name_hit, F.substring_index(name, " ", 1)).otherwise(null_s)
+    suite = F.when(h.rlike(SUITE_NAME_RE),
+                   F.regexp_extract(h, SUITE_NAME_RE, 1)).otherwise(F.lit("Unknown Suite"))
+    fi_hit = h.rlike(FILE_INFO_RE)
+    fi_g2 = F.regexp_extract(h, FILE_INFO_RE, 2)
+    fi_file = F.when(fi_hit, F.regexp_extract(h, FILE_INFO_RE, 1)).otherwise(null_s)
+    fi_line = F.when(fi_hit & (F.length(fi_g2) <= 18), fi_g2.cast("long")).otherwise(null_l)
+    assert_msg = F.trim(F.substring(h, F.locate("XCTAssert", h), F.lit(2 ** 30)))
+    err_msg = F.trim(F.substring(h, F.locate("error:", h) + F.lit(7), F.lit(2 ** 30)))
+
+    kind = (
+        F.when(h.startswith("Test Case"), "case")
+        .when(h.startswith("Test Suite"), "suite")
+        .when(h.contains("XCTAssert") & h.contains("failed"), "assert")
+        .otherwise("err")
+    )
+    K = kind
+    severity = (
+        F.when(K.isin("case", "suite"),
+               F.when(h.contains("failed"), "error").otherwise("info"))
+        .otherwise(F.lit("error"))
+    )
+    category = (
+        F.when(K == "case",
+               F.when(h.contains("failed"), "test_failure")
+               .when(h.contains("passed"), "test_success")
+               .when(h.contains("started"), "test_start")
+               .otherwise("test_info"))
+        .when(K == "suite",
+              F.when(h.contains("failed"), "test_suite_failure")
+              .when(h.contains("passed"), "test_suite_success")
+              .when(h.contains("started"), "test_suite_start")
+              .otherwise("test_suite_info"))
+        .when(K == "assert", F.lit("assertion_failure"))
+        .otherwise(F.lit("test_error"))
+    )
+    message = (
+        F.when(K == "case", F.concat(
+            F.lit("Test: "),
+            F.when(name_hit, name).otherwise(F.lit("Unknown Test")),
+            F.lit(" - "), status))
+        .when(K == "suite", F.concat(F.lit("Test Suite: "), suite,
+                                     F.lit(" - "), status))
+        .when(K == "assert", assert_msg)
+        .otherwise(err_msg)
+    )
+    build_target = (
+        F.when(K.isin("case", "assert"), target)
+        .when(K == "suite", suite)
+        .otherwise(null_s)
+    )
+    out = blocks.select(
+        "conv_id", "start_turn_idx",
+        F.when(K.isin("assert", "err"), fi_file).otherwise(null_s).alias("file"),
+        F.when(K.isin("assert", "err"), fi_line).otherwise(null_l).alias("line"),
+        severity.alias("severity"),
+        message.alias("message"),
+        F.lit("xctest").alias("source"),
+        category.alias("category"),
+        h.alias("raw"),
+        build_target.alias("build_target"),
+        "related_messages",
+    )
+    return _flat_related(out, [
+        "conv_id", "start_turn_idx", "file", "line", "severity", "message",
+        "source", "category", "raw", "build_target"])
+
+
+def xctest_blocks_sql(transcripts_cte: str) -> str:
+    tn = "'" + TEST_NAME_RE.replace("'", "''") + "'"
+    sn = "'" + SUITE_NAME_RE.replace("'", "''") + "'"
+    fi = "'" + FILE_INFO_RE.replace("'", "''") + "'"
+    big = str(1 << 62)
+    flagged = f"""
+WITH transcripts AS (
+{transcripts_cte}
+), cls AS (
+  SELECT conv_id, turn_idx, text,
+    starts_with(text, 'Test Case') OR starts_with(text, 'Test Suite') AS t_line,
+    NOT (starts_with(text, 'Test Case') OR starts_with(text, 'Test Suite'))
+      AND contains(text, 'XCTAssert') AND contains(text, 'failed') AS a_line,
+    starts_with(text, '    ') OR contains(text, 'XCTAssert')
+      OR contains(text, 'Expected:') OR contains(text, 'Actual:')
+      OR contains(text, 'Difference:') AS c_shape
+  FROM transcripts
+), cls2 AS (
+  SELECT *, NOT t_line AND NOT a_line
+            AND contains(text, 'error:') AND contains(text, 'test') AS e_line
+  FROM cls
+), wotf AS (
+  SELECT *, coalesce(min(CASE WHEN t_line OR e_line THEN turn_idx END)
+                       OVER (PARTITION BY conv_id), {big}) AS otf
+  FROM cls2
+), fl AS (
+  SELECT conv_id, turn_idx, text,
+    t_line OR (a_line AND turn_idx < otf)
+           OR (e_line AND (turn_idx = otf OR NOT c_shape)) AS is_start,
+    FALSE AS is_close,
+    NOT (t_line OR (a_line AND turn_idx < otf)
+                OR (e_line AND (turn_idx = otf OR NOT c_shape)))
+      AND turn_idx > otf AND c_shape AS is_cont
+  FROM wotf
+)
+SELECT * FROM fl"""
+    inner = _blocks_sql_flagged(flagged)
+    status = ("(CASE WHEN contains(header, 'failed') THEN 'Failed' "
+              "WHEN contains(header, 'passed') THEN 'Passed' "
+              "WHEN contains(header, 'started') THEN 'Started' ELSE 'Info' END)")
+    suite = (f"(CASE WHEN regexp_matches(header, {sn}) "
+             f"THEN regexp_extract(header, {sn}, 1) ELSE 'Unknown Suite' END)")
+    return f"""
+WITH blocks AS (
+{inner}
+), kinds AS (
+  SELECT *, CASE WHEN starts_with(header, 'Test Case') THEN 'case'
+                 WHEN starts_with(header, 'Test Suite') THEN 'suite'
+                 WHEN contains(header, 'XCTAssert') AND contains(header, 'failed')
+                      THEN 'assert'
+                 ELSE 'err' END AS kind
+  FROM blocks
+)
+SELECT conv_id, start_turn_idx,
+  CASE WHEN kind IN ('assert', 'err') AND regexp_matches(header, {fi})
+       THEN regexp_extract(header, {fi}, 1) END AS file,
+  CASE WHEN kind IN ('assert', 'err') AND regexp_matches(header, {fi})
+            AND length(regexp_extract(header, {fi}, 2)) <= 18
+       THEN CAST(regexp_extract(header, {fi}, 2) AS BIGINT) END AS line,
+  CASE WHEN kind IN ('case', 'suite')
+       THEN CASE WHEN contains(header, 'failed') THEN 'error' ELSE 'info' END
+       ELSE 'error' END AS severity,
+  CASE WHEN kind = 'case'
+       THEN 'Test: ' || (CASE WHEN regexp_matches(header, {tn})
+                              THEN regexp_extract(header, {tn}, 1)
+                              ELSE 'Unknown Test' END) || ' - ' || {status}
+       WHEN kind = 'suite'
+       THEN 'Test Suite: ' || {suite} || ' - ' || {status}
+       WHEN kind = 'assert'
+       THEN trim(substr(header, strpos(header, 'XCTAssert')))
+       ELSE trim(substr(header, strpos(header, 'error:') + 7)) END AS message,
+  'xctest' AS source,
+  CASE WHEN kind = 'case'
+       THEN CASE WHEN contains(header, 'failed') THEN 'test_failure'
+                 WHEN contains(header, 'passed') THEN 'test_success'
+                 WHEN contains(header, 'started') THEN 'test_start'
+                 ELSE 'test_info' END
+       WHEN kind = 'suite'
+       THEN CASE WHEN contains(header, 'failed') THEN 'test_suite_failure'
+                 WHEN contains(header, 'passed') THEN 'test_suite_success'
+                 WHEN contains(header, 'started') THEN 'test_suite_start'
+                 ELSE 'test_suite_info' END
+       WHEN kind = 'assert' THEN 'assertion_failure'
+       ELSE 'test_error' END AS category,
+  header AS raw,
+  CASE WHEN kind IN ('case', 'assert') AND regexp_matches(header, {tn})
+       THEN split_part(regexp_extract(header, {tn}, 1), ' ', 1)
+       WHEN kind = 'suite' THEN {suite} END AS build_target,
+  n_related, related_joined
+FROM kinds
+"""

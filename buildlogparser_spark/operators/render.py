@@ -411,7 +411,12 @@ def json_document(diags: DataFrame, verbose: bool = False,
         zsum((F.col("severity") == "info").cast("long")).alias("infoCount"),
         zsum((F.col("severity") == "note").cast("long")).alias("noteCount"),
     )
-    doc = F.to_json(
+    doc = _doc_json(verbose, timestamp)
+    return agg.select(doc.alias("doc"))
+
+
+def _doc_json(verbose: bool, timestamp: str):
+    return F.to_json(
         F.struct(
             F.transform(F.col("items"), lambda s: s["payload"]).alias("diagnostics"),
             F.struct(
@@ -422,4 +427,46 @@ def json_document(diags: DataFrame, verbose: bool = False,
             ).alias("metadata"),
         )
     )
-    return agg.select(doc.alias("doc"))
+
+
+def json_document_sharded(diags: DataFrame, n_shards: int = 64,
+                          verbose: bool = False,
+                          timestamp: str = "1970-01-01T00:00:00Z") -> DataFrame:
+    """Sharded JSONOutput (ROADMAP #5): one combined document per
+    md5(conv_id) shard, lifting :func:`json_document`'s single-reducer
+    bound for full-parse corpora. Conversations never split across shards
+    (the shard key is conv_id alone — same portable md5 bucketing as the
+    routed sinks, route.py), so each shard is a complete self-consistent
+    document: its metadata counts cover exactly its own diagnostics and the
+    global metadata is the field-wise sum over shards (= json_metadata;
+    asserted in pytest). Output (shard bigint, doc string) — the reducer
+    unit is a shard, sized by ``n_shards``, not the corpus. Shards with no
+    diagnostics emit no row (a reader treats a missing shard as empty)."""
+    if "related_messages" not in diags.columns:
+        diags = diags.withColumn(
+            "related_messages", F.array().cast("array<string>"))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("conv_id")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_shards))
+    item = F.struct(
+        F.col("conv_id"), F.col("turn_idx"),
+        F.struct(
+            F.col("message"), F.col("severity"), F.col("file"),
+            F.col("line"), F.col("column"),
+            F.col("related_messages").alias("relatedMessages"),
+        ).alias("payload"),
+    )
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0).cast("long"))  # noqa: E731
+    agg = (
+        diags.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.array_sort(F.collect_list(item)).alias("items"),
+            F.count("*").alias("totalCount"),
+            zsum((F.col("severity") == "error").cast("long")).alias("errorCount"),
+            zsum((F.col("severity") == "warning").cast("long")).alias("warningCount"),
+            zsum((F.col("severity") == "info").cast("long")).alias("infoCount"),
+            zsum((F.col("severity") == "note").cast("long")).alias("noteCount"),
+        )
+    )
+    return agg.select("shard", _doc_json(verbose, timestamp).alias("doc"))

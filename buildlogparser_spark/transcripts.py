@@ -200,8 +200,120 @@ def load_transcripts(spark: SparkSession, sf_dir: str, cache: bool = True) -> Da
 
 
 # ---------------------------------------------------------------------------
+# Auxiliary swift-build 5.9+ / xcodebuild-warning flavored stream.
+#
+# The primary template set above has no `N | code` gutter-context lines,
+# no ``| `- error:`` pointer lines and no ``{ platform:`` warning detail
+# bodies — the continuation shapes SwiftBuildCompileErrorRule
+# (SwiftBuildCompileErrorRule.swift:24-41) and XcodeBuildWarningRule
+# (XcodebuildWarningRule.swift:47) consume. Rather than perturbing the
+# primary stream (and with it the input of every already-green oracle), the
+# modern-toolchain shapes get their own deterministic derivation from the
+# same events table, with the same dual Spark/DuckDB implementation.
+# ---------------------------------------------------------------------------
+
+
+def derive_aux_transcripts(events: DataFrame) -> DataFrame:
+    """events → swift-build 5.9+ flavored transcripts (turn_idx % 12 templates)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    df = events.select(
+        F.concat(F.lit("conv_"), F.lpad(_s(F.col("user_id")), 4, "0")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+    )
+    eid = F.col("eid")
+    uid = F.col("uid")
+    sev01 = F.when(eid % 3 == 0, F.lit("warning")).otherwise(F.lit("error"))
+    ptr_sev = F.when(eid % 4 == 0, F.lit("warning")).otherwise(F.lit("error"))
+    templates = {
+        # swift-build compile header (same start regex as R1/R8)
+        0: F.concat(F.lit("/app/src/File"), _s(uid), F.lit(".swift:"), _s(eid % 90 + 10),
+                    F.lit(":"), _s(eid % 40 + 1), F.lit(": "), sev01,
+                    F.lit(": cannot find 'x"), _s(eid % 50), F.lit("' in scope")),
+        # gutter context line `N | code` (SwiftBuildCompileErrorRule.swift:24)
+        1: F.concat(F.lit("  "), _s(eid % 90 + 10), F.lit(" |     let x = y"),
+                    _s(eid % 100)),
+        # pointer line `| `- sev: msg` (SwiftBuildCompileErrorRule.swift:35)
+        2: F.concat(F.lit("      |         `- "), ptr_sev,
+                    F.lit(": use of unresolved identifier 'x"), _s(eid % 50),
+                    F.lit("'")),
+        3: F.lit(""),
+        # progress line — swift-build block close (…swift:128)
+        4: F.concat(F.lit("["), _s(eid % 20 + 1), F.lit("/20] Compiling Module"),
+                    _s(uid), F.lit(" file"), _s(eid % 100), F.lit(".swift")),
+        # command-failed — swift-build block close (…swift:123)
+        5: F.concat(F.lit("error: emit-module command failed with exit code "),
+                    _s(eid % 4 + 1), F.lit(" (use -v to see invocation)")),
+        # xcodebuild warning header (XcodebuildWarningRule.swift:12)
+        6: F.concat(F.lit("--- xcodebuild: WARNING: legacy setting id "), _s(eid % 30)),
+        # `{ platform:` detail body + closing brace (…swift:47)
+        7: F.concat(F.lit("{ platform:iOS Simulator, OS:17."), _s(eid % 10),
+                    F.lit(", name:iPhone "), _s(eid % 8 + 8), F.lit(" }")),
+        8: F.lit("}"),
+        # warning-block close (…swift:53)
+        9: F.lit("** BUILD FAILED **"),
+        10: F.concat(F.lit("Building for debugging... step "), _s(eid % 100)),
+        # indented noise: matches NO swift-build predicate — dropped in
+        # place with the block still open (consumeLine fall-through)
+        11: F.concat(F.lit("    let x = y"), _s(eid % 100)),
+    }
+    text = F.lit("")
+    for k, expr in templates.items():
+        text = F.when(F.col("turn_idx") % 12 == k, expr).otherwise(text)
+    return df.select("conv_id", "turn_idx", text.alias("text"), "ts")
+
+
+def load_aux_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aux stream for an sf dir, snapshot-materialized (same rationale as
+    :func:`load_transcripts`)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = derive_aux_transcripts(events)
+    from .materialize import materialize
+
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return materialize(df, key=f"aux_transcripts:{sf_dir}", n_files=n)
+
+
+AUX_TRANSCRIPT_SQL = """
+SELECT conv_id, turn_idx,
+  CASE turn_idx % 12
+    WHEN 0 THEN '/app/src/File' || CAST(uid AS STRING) || '.swift:' || CAST(eid % 90 + 10 AS STRING)
+                || ':' || CAST(eid % 40 + 1 AS STRING) || ': '
+                || (CASE WHEN eid % 3 = 0 THEN 'warning' ELSE 'error' END)
+                || ': cannot find ''x' || CAST(eid % 50 AS STRING) || ''' in scope'
+    WHEN 1 THEN '  ' || CAST(eid % 90 + 10 AS STRING) || ' |     let x = y' || CAST(eid % 100 AS STRING)
+    WHEN 2 THEN '      |         `- ' || (CASE WHEN eid % 4 = 0 THEN 'warning' ELSE 'error' END)
+                || ': use of unresolved identifier ''x' || CAST(eid % 50 AS STRING) || ''''
+    WHEN 3 THEN ''
+    WHEN 4 THEN '[' || CAST(eid % 20 + 1 AS STRING) || '/20] Compiling Module' || CAST(uid AS STRING)
+                || ' file' || CAST(eid % 100 AS STRING) || '.swift'
+    WHEN 5 THEN 'error: emit-module command failed with exit code ' || CAST(eid % 4 + 1 AS STRING)
+                || ' (use -v to see invocation)'
+    WHEN 6 THEN '--- xcodebuild: WARNING: legacy setting id ' || CAST(eid % 30 AS STRING)
+    WHEN 7 THEN '{ platform:iOS Simulator, OS:17.' || CAST(eid % 10 AS STRING)
+                || ', name:iPhone ' || CAST(eid % 8 + 8 AS STRING) || ' }'
+    WHEN 8 THEN '}'
+    WHEN 9 THEN '** BUILD FAILED **'
+    WHEN 10 THEN 'Building for debugging... step ' || CAST(eid % 100 AS STRING)
+    ELSE '    let x = y' || CAST(eid % 100 AS STRING)
+  END AS text,
+  ts
+FROM (
+  SELECT
+    'conv_' || lpad(CAST(user_id AS STRING), 4, '0') AS conv_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+    ts, event_id AS eid, user_id AS uid
+  FROM events
+) ordered
+"""
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-side derivation (oracle). Keep in lockstep with derive_transcripts —
-# tests/test_transcript_parity.py asserts exact equality.
+# tests/test_multi_input_consistency.py asserts exact equality.
 # ---------------------------------------------------------------------------
 
 TRANSCRIPT_SQL = """

@@ -177,42 +177,50 @@ def main() -> None:
         # straggler retry: a worker starved by a host-noise burst for its
         # whole rep window poisons the wall (wall = slowest of 4). A real
         # cluster re-schedules such tasks (speculative execution); retrying
-        # the 4N phase when the spread is pathological is the sandbox analog.
-        best_four = None
+        # the 4N phase when the spread is pathological is the sandbox
+        # analog. Selection is by SPREAD (representativeness), not by wall:
+        # the accepted attempt is the first whose workers are within 1.3×
+        # of each other, else the most-balanced attempt — never the fastest
+        # (a min-wall pick would stack a second best-of on top of the
+        # best-of-trials table and bias the number upward).
+        attempts = []
         for attempt in range(3):
             four = run_workers(shards, args.cores, args.reps)
-            if best_four is None or max(r["warm_sec"] for r in four) < max(
-                    r["warm_sec"] for r in best_four):
-                best_four = four
             walls = [r["warm_sec"] for r in four]
-            if max(walls) / max(min(walls), 1e-9) <= 1.3:
+            spread4 = max(walls) / max(min(walls), 1e-9)
+            attempts.append((spread4, four))
+            if spread4 <= 1.3:
                 break
             print(f"  trial {t} attempt {attempt}: straggler spread "
-                  f"{max(walls) / min(walls):.2f} ({walls}) — retrying 4N phase")
-        four = best_four
+                  f"{spread4:.2f} ({walls}) — retrying 4N phase")
+        spread4, four = min(attempts, key=lambda a: a[0])
         total = sum(r["rows"] for r in four)
         wall4 = max(r["warm_sec"] for r in four)
         tput4 = total / wall4
         eff = tput4 / (4 * tput1)
         trials.append({"hw": hw, "one": one, "four": four, "tput1": tput1,
                        "tput4": tput4, "wall4": wall4, "eff": eff,
-                       "norm": eff / hw["ceiling"]})
+                       "norm": eff / hw["ceiling"],
+                       "n_attempts": len(attempts)})
         print(f"trial {t}: eff={eff:.3f} ceiling={hw['ceiling']:.2f} "
-              f"norm={eff / hw['ceiling']:.2f}")
+              f"norm={eff / hw['ceiling']:.2f} (4N attempts: {len(attempts)})")
 
+    # headline = MEDIAN trial (ADVICE r02: best-of-trials overstated the
+    # number); the best trial stays visible in the all-trials table
     med = sorted(trials, key=lambda r: r["eff"])[len(trials) // 2]
     best = max(trials, key=lambda r: r["eff"])
-    hw, one, four = best["hw"], best["one"], best["four"]
-    tput1, tput4, wall4 = best["tput1"], best["tput4"], best["wall4"]
-    eff, norm = best["eff"], best["norm"]
-    print(f"best: efficiency={eff:.3f}  (hardware ceiling {hw['ceiling']:.2f}, "
-          f"normalized {norm:.2f})")
+    hw, one, four = med["hw"], med["one"], med["four"]
+    tput1, tput4, wall4 = med["tput1"], med["tput4"], med["wall4"]
+    eff, norm = med["eff"], med["norm"]
+    print(f"median: efficiency={eff:.3f}  (hardware ceiling {hw['ceiling']:.2f}, "
+          f"normalized {norm:.2f}); best trial eff={best['eff']:.3f}")
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     per_worker = " / ".join(f"{r['warm_sec']}s" for r in four)
     trial_rows = "\n".join(
-        f"| {i} | {t['eff']:.3f} | {t['hw']['ceiling']:.2f} | {t['norm']:.2f} |"
+        f"| {i} | {t['eff']:.3f} | {t['hw']['ceiling']:.2f} | {t['norm']:.2f} "
+        f"| {t['n_attempts']} |"
         for i, t in enumerate(trials))
     md = f"""# BENCH/BASELINE — measured baseline of record
 
@@ -238,16 +246,19 @@ parse→classify→enrich→aggregate.
 | 4N (4 executors × {args.cores} cores) | ¼ shard each, concurrent | {wall4} ({per_worker}) | {tput4:,.0f} |
 
 **Raw scaling efficiency = {tput4:,.0f} / (4 × {tput1:,.0f}) = {eff:.2f}**
-(best of {len(trials)} full trials; median trial: eff {med['eff']:.2f},
-normalized {med['norm']:.2f}. The host is visibly noisy; all trials:)
+(MEDIAN of {len(trials)} full trials — the headline statistic; best trial:
+eff {best['eff']:.2f}, normalized {best['norm']:.2f}. The host is visibly
+noisy; all trials:)
 
-| trial | efficiency | hw ceiling | normalized |
-|---|---|---|---|
+| trial | efficiency | hw ceiling | normalized | 4N attempts |
+|---|---|---|---|---|
 {trial_rows}
 
 Shards are byte-balanced (greedy LPT over parquet file sizes) and the 4N
 phase retries when one worker straggles >1.3× (the sandbox analog of
-speculative re-scheduling on a real cluster).
+speculative re-scheduling on a real cluster); the accepted attempt is
+chosen by lowest worker spread — representativeness — never by lowest
+wall, and the attempt count per trial is listed above.
 
 ## Hardware ceiling (control experiment)
 

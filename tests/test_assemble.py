@@ -142,3 +142,110 @@ def test_linker_blocks_match_oracle(spark):
     got = _got_flat(linker_blocks(df))
     assert exp == got and sum(exp.values()) > 10
     assert any(k[5] > 0 for k in exp)
+
+
+def _expected_proj(rules_factory, attrs, convs=None):
+    """Oracle expectations projected to ``attrs`` + the flat related pair."""
+    if convs is None:
+        convs = {}
+        for conv_id, _i, _r, text, _tl, _ts in gen_conversations(SEED, N_CONVS):
+            convs.setdefault(conv_id, []).append(text)
+    exp: Counter = Counter()
+    for conv_id, lines in convs.items():
+        for t, d in parse_lines_with_turns(lines, list(range(len(lines))), rules_factory()):
+            exp[(conv_id, t) + tuple(getattr(d, a) for a in attrs)
+                + (len(d.related_messages), "\n".join(d.related_messages))] += 1
+    return exp
+
+
+def _got_proj(df, attrs):
+    got: Counter = Counter()
+    for r in df.collect():
+        d = r.asDict()
+        got[(d["conv_id"], d["start_turn_idx"]) + tuple(d[a] for a in attrs)
+            + (d["n_related"], d["related_joined"])] += 1
+    return got
+
+
+_SB_ATTRS = ["file", "line", "column", "severity", "message", "source",
+             "category", "raw"]
+_XW_ATTRS = ["severity", "message", "source", "category", "raw"]
+_XT_ATTRS = ["file", "line", "severity", "message", "source", "category",
+             "raw", "build_target"]
+
+
+def test_swiftbuild_compile_blocks_match_oracle(spark):
+    """Single-rule SwiftBuildCompileErrorRule consumeLine == the generic
+    assembler: gutter context / pointer / blank continuations collected,
+    command-failed and progress closers NOT collected, non-matching lines
+    dropped in place with the block open."""
+    from buildlogparser_spark.operators.assemble import swiftbuild_compile_blocks
+    from buildlogparser_spark.rules.table import SwiftBuildCompileErrorRule
+
+    df = conversations_df(spark, SEED, N_CONVS)
+    exp = _expected_proj(lambda: [SwiftBuildCompileErrorRule()], _SB_ATTRS)
+    got = _got_proj(swiftbuild_compile_blocks(df), _SB_ATTRS)
+    assert exp == got and sum(exp.values()) > 10
+    assert any(k[-2] > 0 for k in exp)  # real gutter continuations collected
+
+
+def test_xcodebuild_warning_blocks_match_oracle(spark):
+    from buildlogparser_spark.operators.assemble import xcodebuild_warning_blocks
+    from buildlogparser_spark.rules.table import XcodeBuildWarningRule
+
+    df = conversations_df(spark, SEED, N_CONVS)
+    exp = _expected_proj(lambda: [XcodeBuildWarningRule()], _XW_ATTRS)
+    got = _got_proj(xcodebuild_warning_blocks(df), _XW_ATTRS)
+    assert exp == got and sum(exp.values()) > 10
+    assert any(k[-2] > 0 for k in exp)  # { platform: bodies collected
+
+
+def test_xctest_blocks_match_oracle(spark):
+    """Single-rule XCTestRule consumeLine == the otf-flagged assembler on
+    the generated corpus (headers, assertion continuations, Expected:/
+    Actual: details, 4-space indents)."""
+    from buildlogparser_spark.operators.assemble import xctest_blocks
+    from buildlogparser_spark.rules.table import XCTestRule
+
+    df = conversations_df(spark, SEED, N_CONVS)
+    exp = _expected_proj(lambda: [XCTestRule()], _XT_ATTRS)
+    got = _got_proj(xctest_blocks(df), _XT_ATTRS)
+    assert exp == got and sum(exp.values()) > 10
+    assert any(k[-2] > 0 for k in exp)
+
+
+def test_xctest_blocks_state_dependent_assert(spark):
+    """The state-dependent shape: XCTAssert failures BEFORE any test header
+    open assertion_failure blocks (which collect nothing — the continuation
+    guard rejects 'assertion_failure', XCTestRule.swift:50); the same line
+    shape AFTER a header is a continuation (matchContinuation wins)."""
+    from buildlogparser_spark.operators.assemble import xctest_blocks
+    from buildlogparser_spark.rules.table import XCTestRule
+
+    lines = [
+        "/app/tests/FooTests.swift:10: error: -[FooTests testA] : XCTAssertTrue failed",
+        "    Expected: true",
+        "/app/tests/FooTests.swift:12: error: -[FooTests testB] : "
+        'XCTAssertEqual failed: ("1") is not equal to ("2")',
+        "Test Suite 'FooTests' started at 2024-01-01 12:00:00.000",
+        "Test Case '-[FooTests testA]' started.",
+        "/app/tests/FooTests.swift:10: error: -[FooTests testA] : XCTAssertTrue failed",
+        "    Expected: true",
+        "    Actual: false",
+        "Test Case '-[FooTests testA]' failed (0.105 seconds).",
+        "some error: in test harness",
+        "    Difference: nope",
+        "Test Suite 'FooTests' failed at 2024-01-01 12:00:01.000.",
+    ]
+    convs = {"adv_0": lines}
+    rows = [("adv_0", i, "tool", t) for i, t in enumerate(lines)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    exp = _expected_proj(lambda: [XCTestRule()], _XT_ATTRS, convs=convs)
+    got = _got_proj(xctest_blocks(df), _XT_ATTRS)
+    assert exp == got
+    # pre-header asserts are starts with empty related...
+    assert sum(1 for k in exp if k[7] == "assertion_failure" and k[-2] == 0) == 2
+    # ...the same shape post-header is collected as a continuation (the
+    # 'started.' block at turn 4 collects the assert + Expected + Actual)
+    assert any(k[7] == "test_start" and k[-2] >= 3 for k in exp)

@@ -143,3 +143,33 @@ def test_stats_text_single_file_no_top5(spark):
     one = _blocks(spark).filter(F.col("severity") == "error")
     out = rnd.stats_text(one).collect()[0].stats
     assert "📁 Files affected: 1" in out and "🔥" not in out
+
+
+def test_json_document_sharded_partition_of_unsharded(spark):
+    """Sharded documents are a partition of the unsharded one: every
+    diagnostic lands in exactly one shard (whole conversations together),
+    per-shard metadata counts its own diagnostics, and the field-wise sum
+    over shards equals json_metadata."""
+    from buildlogparser_spark.datagen import conversations_df
+    from buildlogparser_spark.operators.classify import classify
+
+    diags = classify(conversations_df(spark, 77, 12)).select(
+        "conv_id", "turn_idx", "file", "line", "column", "severity",
+        "message", "related_messages")
+    whole = json.loads(rnd.json_document(diags).collect()[0].doc)
+    shards = {r.shard: json.loads(r.doc)
+              for r in rnd.json_document_sharded(diags, n_shards=8).collect()}
+    assert 1 < len(shards) <= 8  # genuinely parallel output
+    # wire payloads carry no conv_id — compare the diagnostic multiset
+    key = lambda d: json.dumps(d, sort_keys=True)  # noqa: E731
+    all_sharded = [d for doc in shards.values() for d in doc["diagnostics"]]
+    assert sorted(map(key, all_sharded)) == sorted(
+        map(key, whole["diagnostics"]))
+    for doc in shards.values():
+        assert doc["metadata"]["totalCount"] == len(doc["diagnostics"])
+    for fld in ("totalCount", "errorCount", "warningCount", "infoCount",
+                "noteCount"):
+        assert sum(doc["metadata"][fld] for doc in shards.values()) \
+            == whole["metadata"][fld]
+    # (conversations never split across shards by construction: the shard
+    # key is a deterministic function of conv_id alone)
