@@ -96,7 +96,12 @@ def main() -> None:
             if only and name.split("_")[0] not in only and name not in only:
                 return
             times = []
-            for _ in range(reps):
+            # the flagship defines the headline turns_per_sec — give it 3×
+            # the reps: r02 recorded a 1.75→2.64 s q1 'regression' on an
+            # unchanged plan that a 9-rep quiet-window re-run showed to be
+            # pure host noise (1.47 min / 1.71 median; BENCH/NOISE.md)
+            n = reps * 3 if name == "q1_flagship_pipeline" else reps
+            for _ in range(n):
                 t0 = time.time()
                 fn()
                 times.append(time.time() - t0)
