@@ -144,3 +144,62 @@ def test_unordered_stream_buffers_out_of_order_turns(spark, tmp_path):
     # run 1 saw only turn 0 of each conversation (hole at turn 1) — at most
     # a handful of single-line diagnostics may emit, never the full corpus
     assert n_after_1 < sum(exp.values()) / 2
+
+
+def test_stream_swiftbuild_gutter_block_spans_batches(spark, tmp_path):
+    """R8 swift-build 5.9+ gutter block split mid-block across availableNow
+    runs: the header + first context line arrive in run 1, the pointer /
+    blank continuations and the progress closer in run 2 — the state store
+    must carry the open block so the assembled diagnostic equals the batch
+    oracle, and nothing may emit before the close."""
+    from buildlogparser_spark.rules.table import SwiftBuildCompileErrorRule
+
+    sb_stack = lambda: [SwiftBuildCompileErrorRule()]  # noqa: E731
+    lines = [
+        "Building for debugging... step 1",
+        "/app/src/Mod1.swift:12:5: error: cannot find 'q1' in scope",
+        "  12 |     let q1 = broken()",
+        "      |         `- error: cannot find 'q1' in scope",
+        "",
+        "[3/20] Compiling Module1 file7.swift",
+        "/app/src/Mod2.swift:3:1: warning: unused variable 'w'",
+        "   3 | let w = 1",
+    ]
+    conv = "sb_stream"
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (stream_parse_stateful(stream, sb_stack)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write([(conv, i, t) for i, t in enumerate(lines[:3])])
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0  # block still open
+
+    write([(conv, i + 3, t) for i, t in enumerate(lines[3:])])
+    run_once()
+    write([(conv, len(lines), DEFAULT_EOF_MARKER)])
+    run_once()
+
+    got = Counter(
+        (r.conv_id, r.start_turn_idx, r.category, r.severity, r.message,
+         tuple(r.related_messages))
+        for r in spark.read.parquet(out_dir).collect())
+    exp = Counter(
+        (conv, t, d.category, d.severity, d.message, tuple(d.related_messages))
+        for t, d in parse_lines_with_turns(
+            lines, list(range(len(lines))), sb_stack()))
+    assert got == exp
+    # the gutter continuations really crossed the batch boundary
+    assert (conv, 1, "compile_error", "error", "cannot find 'q1' in scope",
+            ("  12 |     let q1 = broken()",
+             "      |         `- error: cannot find 'q1' in scope",
+             "")) in got
