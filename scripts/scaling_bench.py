@@ -258,7 +258,10 @@ Shards are byte-balanced (greedy LPT over parquet file sizes) and the 4N
 phase retries when one worker straggles >1.3× (the sandbox analog of
 speculative re-scheduling on a real cluster); the accepted attempt is
 chosen by lowest worker spread — representativeness — never by lowest
-wall, and the attempt count per trial is listed above.
+wall, and the attempt count per trial is listed above. Raw efficiency
+tracks the per-trial hardware ceiling: the quieter the window (higher
+ceiling), the higher the raw number — the pipeline scales as well as the
+host lets anything scale in that window.
 
 ## Hardware ceiling (control experiment)
 
