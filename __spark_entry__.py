@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_aux_transcripts(spark, sf)),
         "xcodebuild_warning_blocks": lambda spark, sf: asm.xcodebuild_warning_blocks(
             load_aux_transcripts(spark, sf)),
+        "module_failed_blocks": lambda spark, sf: asm.module_failed_blocks(
+            load_aux_transcripts(spark, sf)),
         "xctest_blocks": lambda spark, sf: asm.xctest_blocks(
             load_transcripts(spark, sf)),
         # --- routing (fan-out sink layout, oracled) -----------------------
@@ -348,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
             AUX_TRANSCRIPT_SQL),
         "xcodebuild_warning_blocks": asm.xcodebuild_warning_blocks_sql(
             AUX_TRANSCRIPT_SQL),
+        "module_failed_blocks": asm.module_failed_blocks_sql(AUX_TRANSCRIPT_SQL),
         "xctest_blocks": asm.xctest_blocks_sql(TRANSCRIPT_SQL),
         "routed_partitions": (
             "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("

@@ -89,6 +89,9 @@ def _swiftbuild_block(rng: random.Random) -> list[str]:
     if rng.random() < 0.5:
         lines.append(f"error: emit-module command failed with exit code {rng.randrange(1, 4)}"
                      " (use -v to see invocation)")
+        if rng.random() < 0.6:
+            lines.append(f"  hint {rng.randrange(9)}: use -v to see invocation"
+                         " of the failed command")
     if rng.random() < 0.7:
         ln = rng.randrange(1, 60)
         lines.append(f"/app/src/Mod{rng.randrange(9)}.swift:{ln}:{rng.randrange(1, 30)}:"

@@ -68,6 +68,7 @@ from ..rules.table import (
     CONTEXT_LINE_RE,
     ERROR_POINTER_RE,
     FILE_INFO_RE,
+    MODULE_FAILED_RE,
     Rule,
     SUITE_NAME_RE,
     TEST_NAME_RE,
@@ -722,6 +723,63 @@ SELECT conv_id, start_turn_idx,
   'swift-build' AS source,
   'compile_' || regexp_extract(header, {ce}, 5) AS category,
   header AS raw, n_related, related_joined
+FROM ({inner}) b
+"""
+
+
+def module_failed_blocks(transcripts: DataFrame) -> DataFrame:
+    """R9 SwiftBuildModuleFailedRule blocks — the last multi-line-capable
+    rule (SwiftBuildModuleFailedRule.swift): ``error: emit-module command
+    failed with exit code N`` header; space-prefixed hint lines containing
+    ``use -v to see invocation`` append (:50-55, "usually single-line, but
+    may contain hints"); a ``: error:``/``: warning:`` compile line or a
+    blank line closes (:62-73). With this, every rule the reference can
+    run multi-line (R1, R2, R3, R6, R7, R8, R9) has a vectorized oracled
+    block query."""
+    T = F.col("text")
+    is_start = (
+        T.startswith("error: emit-module command failed")
+        & T.rlike(MODULE_FAILED_RE)
+    )
+    is_close = (
+        (T.contains(":") & (T.contains(": error:") | T.contains(": warning:")))
+        | (F.length(F.regexp_replace(T, _BLANK_TRIM_RE, "")) == 0)
+    )
+    is_cont = T.startswith(" ") & T.contains("use -v to see invocation")
+    blocks = assemble_blocks(transcripts, is_start, is_close, is_cont)
+    header = F.col("header")
+    out = blocks.select(
+        "conv_id", "start_turn_idx",
+        F.lit("error").alias("severity"),
+        F.concat(F.lit("Module compilation failed with exit code "),
+                 F.regexp_extract(header, MODULE_FAILED_RE, 1),
+                 F.regexp_extract(header, MODULE_FAILED_RE, 2)).alias("message"),
+        F.lit("swift-build").alias("source"),
+        F.lit("module_failed").alias("category"),
+        header.alias("raw"),
+        "related_messages",
+    )
+    return _flat_related(out, [
+        "conv_id", "start_turn_idx", "severity", "message", "source",
+        "category", "raw"])
+
+
+def module_failed_blocks_sql(transcripts_cte: str) -> str:
+    mf = "'" + MODULE_FAILED_RE.replace("'", "''") + "'"
+    start = (f"starts_with(text, 'error: emit-module command failed') "
+             f"AND regexp_matches(text, {mf})")
+    close = ("(contains(text, ':') AND (contains(text, ': error:') "
+             "OR contains(text, ': warning:'))) "
+             "OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0")
+    cont = "starts_with(text, ' ') AND contains(text, 'use -v to see invocation')"
+    inner = _blocks_sql(transcripts_cte, start, close, cont)
+    return f"""
+SELECT conv_id, start_turn_idx,
+  'error' AS severity,
+  'Module compilation failed with exit code '
+    || regexp_extract(header, {mf}, 1) || regexp_extract(header, {mf}, 2) AS message,
+  'swift-build' AS source, 'module_failed' AS category, header AS raw,
+  n_related, related_joined
 FROM ({inner}) b
 """
 

@@ -256,9 +256,15 @@ def derive_aux_transcripts(events: DataFrame) -> DataFrame:
         # warning-block close (…swift:53)
         9: F.lit("** BUILD FAILED **"),
         10: F.concat(F.lit("Building for debugging... step "), _s(eid % 100)),
-        # indented noise: matches NO swift-build predicate — dropped in
-        # place with the block still open (consumeLine fall-through)
-        11: F.concat(F.lit("    let x = y"), _s(eid % 100)),
+        # even eid: indented noise matching NO swift-build predicate —
+        # dropped in place with the block still open (consumeLine
+        # fall-through); odd eid: R9 hint continuation
+        # (SwiftBuildModuleFailedRule.swift:50-55)
+        11: F.when(eid % 2 == 0,
+                   F.concat(F.lit("    let x = y"), _s(eid % 100)))
+            .otherwise(F.concat(
+                F.lit("  hint "), _s(eid % 9),
+                F.lit(": use -v to see invocation of the failed command"))),
     }
     text = F.lit("")
     for k, expr in templates.items():
@@ -298,7 +304,9 @@ SELECT conv_id, turn_idx,
     WHEN 8 THEN '}'
     WHEN 9 THEN '** BUILD FAILED **'
     WHEN 10 THEN 'Building for debugging... step ' || CAST(eid % 100 AS STRING)
-    ELSE '    let x = y' || CAST(eid % 100 AS STRING)
+    ELSE CASE WHEN eid % 2 = 0 THEN '    let x = y' || CAST(eid % 100 AS STRING)
+         ELSE '  hint ' || CAST(eid % 9 AS STRING)
+              || ': use -v to see invocation of the failed command' END
   END AS text,
   ts
 FROM (

@@ -267,3 +267,69 @@ def test_swiftbuild_blocks_equal_stateful_on_aux_stream(spark):
         _SB_ATTRS)
     assert a == b and sum(a.values()) > 20
     assert any(k[-2] > 0 for k in a)
+
+
+def test_module_failed_blocks_match_oracle(spark):
+    """Single-rule SwiftBuildModuleFailedRule consumeLine == the generic
+    assembler: space-prefixed 'use -v to see invocation' hints collected,
+    compile-error/blank closers not collected."""
+    from buildlogparser_spark.operators.assemble import module_failed_blocks
+    from buildlogparser_spark.rules.table import SwiftBuildModuleFailedRule
+
+    df = conversations_df(spark, SEED, N_CONVS)
+    exp = _expected_proj(lambda: [SwiftBuildModuleFailedRule()], _XW_ATTRS)
+    got = _got_proj(module_failed_blocks(df), _XW_ATTRS)
+    assert exp == got and sum(exp.values()) > 5
+    assert any(k[-2] > 0 for k in exp)  # hint continuations collected
+
+
+def test_xctest_blocks_fuzz_random_interleavings(spark):
+    """Randomized differential for the otf closed form: conversations built
+    from an adversarial pool (headers without status words, asserts without
+    file info, E-lines that are ALSO continuation-shaped, pre-header
+    asserts, pure XCTAssert-mention lines, blanks, noise) in random order
+    must equal the single-rule oracle exactly."""
+    import random
+
+    from buildlogparser_spark.operators.assemble import xctest_blocks
+    from buildlogparser_spark.rules.table import XCTestRule
+
+    rng = random.Random(20260817)
+    pool = [
+        lambda: f"Test Case '-[S{rng.randrange(5)}Tests t{rng.randrange(9)}]'"
+                f" failed (0.{rng.randrange(99):02d} seconds).",
+        lambda: f"Test Case '-[S{rng.randrange(5)}Tests t{rng.randrange(9)}]' started.",
+        lambda: f"Test Case '-[S{rng.randrange(5)}Tests t{rng.randrange(9)}]'"
+                f" passed (0.{rng.randrange(99):02d} seconds).",
+        lambda: "Test Case bogus without a name or status word",
+        lambda: f"Test Suite 'S{rng.randrange(5)}Tests' "
+                f"{rng.choice(['failed', 'started', 'passed'])} at 2024-01-01.",
+        lambda: "Test Suite unnamed crashed",
+        lambda: f"/t/S{rng.randrange(5)}Tests.swift:{rng.randrange(1, 99)}: error:"
+                f" -[S{rng.randrange(5)}Tests t{rng.randrange(9)}] :"
+                f' XCTAssertEqual failed: ("{rng.randrange(9)}") is not equal'
+                f' to ("{rng.randrange(9, 20)}")',
+        lambda: "XCTAssertTrue failed - free-floating, no file info",
+        lambda: f"error: something test related {rng.randrange(9)}",
+        lambda: f"    error: indented test failure detail {rng.randrange(9)}",
+        lambda: f"    Expected: {rng.randrange(9)}",
+        lambda: f"    Actual: {rng.randrange(9, 20)}",
+        lambda: "Difference: at index 0",
+        lambda: "XCTAssert mentioned but nothing else matches",
+        lambda: f"plain noise line {rng.randrange(99)}",
+        lambda: "",
+    ]
+    convs = {f"fz_{c:03d}": [rng.choice(pool)() for _ in range(rng.randrange(5, 35))]
+             for c in range(40)}
+    rows = [(cid, i, "tool", t) for cid, ls in convs.items()
+            for i, t in enumerate(ls)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    exp = _expected_proj(lambda: [XCTestRule()], _XT_ATTRS, convs=convs)
+    got = _got_proj(xctest_blocks(df), _XT_ATTRS)
+    missing, extra = exp - got, got - exp
+    assert not missing and not extra, (
+        f"missing={list(missing.items())[:3]}\nextra={list(extra.items())[:3]}")
+    assert sum(exp.values()) > 200
+    assert any(k[7] == "assertion_failure" for k in exp)  # pre-header asserts hit
+    assert any(k[-2] > 0 for k in exp)
