@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_transcripts(spark, sf)),
         "duration_histogram": lambda spark, sf: agg.duration_histogram(
             load_transcripts(spark, sf)),
+        # per-tool latency roll-up (exact interpolated percentiles; see
+        # aggregate.step_duration_percentiles for the 10^12-scale variant)
+        "duration_percentiles": lambda spark, sf: agg.step_duration_percentiles(
+            load_transcripts(spark, sf)),
         # gap-based sessionization (classic telemetry session window)
         "session_stats": lambda spark, sf: agg.session_stats(
             load_transcripts(spark, sf), gap_minutes=1440),
@@ -328,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (""" + TRANSCRIPT_SQL + """) t
             ) dd WHERE step_duration_us > 0 GROUP BY 1"""),
         "session_stats": agg.session_stats_sql(TRANSCRIPT_SQL, gap_minutes=1440),
+        "duration_percentiles": agg.step_duration_percentiles_sql(TRANSCRIPT_SQL),
         "enriched_class_counts": (
             "SELECT diag_class, tool_family, default_severity, count(*) AS n FROM ("
             + enriched_sql(_diag_sql(["role", "tool", "diag_class"]))

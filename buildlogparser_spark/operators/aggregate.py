@@ -191,3 +191,45 @@ def duration_histogram(transcripts: DataFrame) -> DataFrame:
     d = step_durations(transcripts).filter(F.col("step_duration_us") > 0)
     bucket = F.floor(F.log2(F.col("step_duration_us"))).cast("long").alias("bucket")
     return d.select(bucket).groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+def step_duration_percentiles(transcripts: DataFrame) -> DataFrame:
+    """p50/p90/p99/max of positive step durations per tool — the latency
+    roll-up beside the log2 histogram (SURVEY §2.5 graft aggregates).
+    Exact interpolated percentiles: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement the same (n-1)·p linear interpolation, so
+    the oracle matches value-for-value. At 10^12 rows swap ``percentile``
+    → ``percentile_approx`` (t-digest, partial-aggregable, no per-group
+    sort); the oracle keeps the exact form because approx sketches are
+    engine-specific."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = (
+        transcripts.select("tool", (us - F.lag(us).over(w)).alias("dur"))
+        .filter(F.col("dur") > 0)
+    )
+    return d.groupBy("tool").agg(
+        F.percentile("dur", 0.5).alias("p50_us"),
+        F.percentile("dur", 0.9).alias("p90_us"),
+        F.percentile("dur", 0.99).alias("p99_us"),
+        F.max("dur").alias("max_us"),
+        F.count("*").alias("n"),
+    )
+
+
+def step_duration_percentiles_sql(transcripts_cte: str) -> str:
+    return f"""
+WITH transcripts AS (
+{transcripts_cte}
+), durs AS (
+  SELECT tool, epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dur
+  FROM transcripts
+)
+SELECT tool,
+       quantile_cont(dur, 0.5) AS p50_us,
+       quantile_cont(dur, 0.9) AS p90_us,
+       quantile_cont(dur, 0.99) AS p99_us,
+       max(dur) AS max_us, count(*) AS n
+FROM durs WHERE dur > 0 GROUP BY tool
+"""
