@@ -76,6 +76,23 @@ def main() -> None:
         n_turns = transcripts.count()
         documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
         embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # aux modern-toolchain stream for q15: the PRIMARY stream contains
+        # no gutter/pointer continuations by design (transcripts.py), so
+        # timing swiftbuild block assembly there would understate the real
+        # collect cost. Falls back to the primary stream only when the input
+        # was pre-materialized (scaling runs, which don't run q15 anyway).
+        aux_path = os.path.join(tmp, "aux_transcripts")
+        if pre_materialized:
+            aux = transcripts
+        else:
+            from buildlogparser_spark.transcripts import derive_aux_transcripts
+            if bench_turns:
+                ev = gen_events_spark(spark, bench_turns,
+                                      n_users=max(bench_turns // 64, 16))
+            else:
+                ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+            derive_aux_transcripts(ev).repartition(cores * 4).write.parquet(aux_path)
+            aux = spark.read.parquet(aux_path)
 
         # warmup: compile the classify codegen once, untimed
         classify(transcripts.limit(1000)).count()
@@ -90,7 +107,10 @@ def main() -> None:
         # swing 2-5× between windows — min-of-3 rejects most noise bursts
         reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+        import statistics
+
         medians: dict[str, float] = {}
+        raw_times: dict[str, list[float]] = {}
 
         def timed(name: str, fn) -> None:
             if only and name.split("_")[0] not in only and name not in only:
@@ -105,12 +125,12 @@ def main() -> None:
                 t0 = time.time()
                 fn()
                 times.append(time.time() - t0)
-            times.sort()
+            raw_times[name] = times
             # min = steady-state number of record; median recorded alongside
             # so a noise burst is visible instead of silently shaping the
             # narrative (VERDICT r02 item 5)
-            queries[name] = round(times[0], 3)
-            medians[name] = round(times[len(times) // 2], 3)
+            queries[name] = round(min(times), 3)
+            medians[name] = round(statistics.median(times), 3)
 
         diags = classify(transcripts)
         # flagship: parse → classify → enrich → per-sink aggregate
@@ -144,13 +164,20 @@ def main() -> None:
         # round-3 additions (kept OUT of the r01/r02-comparable sum below):
         # the remaining multi-line shapes via the generic chunked assembler
         timed("q15_swiftbuild_blocks",
-              lambda: swiftbuild_compile_blocks(transcripts).count())
+              lambda: swiftbuild_compile_blocks(aux).count())
         timed("q16_xctest_blocks", lambda: xctest_blocks(transcripts).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
         r02_set = {q: s for q, s in queries.items()
                    if q not in ("q15_swiftbuild_blocks", "q16_xctest_blocks")}
+        # the r02-comparable figure must use r02's methodology: q1 there was
+        # min-of-3, so take the min of this run's FIRST three q1 reps (not
+        # min-of-9 — more reps monotonically lowers the min on a noisy host,
+        # which would bias the 'comparable' sum faster than r02's)
+        if "q1_flagship_pipeline" in r02_set:
+            r02_set["q1_flagship_pipeline"] = round(
+                min(raw_times["q1_flagship_pipeline"][:reps]), 3)
         print(json.dumps({
             "metric": "e2e_bench_sec",
             "value": total,

@@ -107,16 +107,18 @@ def line_byte_counts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def step_durations(transcripts: DataFrame) -> DataFrame:
+def step_durations(transcripts: DataFrame,
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-turn step duration = ts delta to previous turn in the conversation
     (SURVEY.md §2.5 graft aggregates), in microseconds (exact integers —
-    stable to hash across engines)."""
+    stable to hash across engines). ``extra_cols`` carries grouping columns
+    (e.g. ``tool``) through for downstream roll-ups."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC so the
     # cast is value-preserving and unix_micros applies
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return transcripts.select(
-        "conv_id", "turn_idx",
+        "conv_id", "turn_idx", *extra_cols,
         (us - F.lag(us).over(w)).alias("step_duration_us"),
     )
 
@@ -201,18 +203,19 @@ def step_duration_percentiles(transcripts: DataFrame) -> DataFrame:
     the oracle matches value-for-value. At 10^12 rows swap ``percentile``
     → ``percentile_approx`` (t-digest, partial-aggregable, no per-group
     sort); the oracle keeps the exact form because approx sketches are
-    engine-specific."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    engine-specific. Percentiles are rounded to 6 places in BOTH engines
+    (repo float convention, severity_pct) so a ULP-level difference in
+    either engine's interpolation expression cannot flip the value hash."""
     d = (
-        transcripts.select("tool", (us - F.lag(us).over(w)).alias("dur"))
-        .filter(F.col("dur") > 0)
+        step_durations(transcripts, extra_cols=("tool",))
+        .filter(F.col("step_duration_us") > 0)
     )
+    dur = F.col("step_duration_us")
     return d.groupBy("tool").agg(
-        F.percentile("dur", 0.5).alias("p50_us"),
-        F.percentile("dur", 0.9).alias("p90_us"),
-        F.percentile("dur", 0.99).alias("p99_us"),
-        F.max("dur").alias("max_us"),
+        F.round(F.percentile(dur, 0.5), 6).alias("p50_us"),
+        F.round(F.percentile(dur, 0.9), 6).alias("p90_us"),
+        F.round(F.percentile(dur, 0.99), 6).alias("p99_us"),
+        F.max(dur).alias("max_us"),
         F.count("*").alias("n"),
     )
 
@@ -227,9 +230,9 @@ WITH transcripts AS (
   FROM transcripts
 )
 SELECT tool,
-       quantile_cont(dur, 0.5) AS p50_us,
-       quantile_cont(dur, 0.9) AS p90_us,
-       quantile_cont(dur, 0.99) AS p99_us,
+       round(quantile_cont(dur, 0.5), 6) AS p50_us,
+       round(quantile_cont(dur, 0.9), 6) AS p90_us,
+       round(quantile_cont(dur, 0.99), 6) AS p99_us,
        max(dur) AS max_us, count(*) AS n
 FROM durs WHERE dur > 0 GROUP BY tool
 """

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import dedup_exact, near_dup_components, ngram_jaccard_pairs
+from .dedup import dedup_exact, near_dup_components_star, ngram_jaccard_pairs
 from .textstats import lang_id, quality_score
 
 
@@ -37,7 +37,10 @@ def curated_corpus(documents: DataFrame, lang: str = "en",
     key = f"{snapshot_key}:curate" if snapshot_key else None
     pairs = ngram_jaccard_pairs(docs, threshold=jaccard_threshold,
                                 snapshot_key=key)
-    comp = near_dup_components(docs, pairs)
+    # star formulation (O(log n) rounds): min-propagation would RAISE on
+    # a dup chain whose diameter exceeds its round budget, aborting the
+    # whole curation query — the star variant converges regardless
+    comp = near_dup_components_star(docs, pairs)
     keep = comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
     kept = docs.join(keep, "doc_id")
     l = lang_id(kept).select("doc_id", "lang_pred")

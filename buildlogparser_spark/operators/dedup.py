@@ -315,6 +315,8 @@ def near_dup_components(documents: DataFrame, pairs: DataFrame,
     """
     from ..materialize import materialize
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

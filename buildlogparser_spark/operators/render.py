@@ -391,9 +391,24 @@ def json_document(diags: DataFrame, verbose: bool = False,
     aggregated results, never a 10^12-row parse (that's what the routed
     parquet/Iceberg sinks are for). ``timestamp`` is caller-injected for
     determinism; job entry points pass wall-clock ISO-8601."""
+    diags = _with_related(diags)
+    agg = diags.agg(*_doc_aggs())
+    doc = _doc_json(verbose, timestamp)
+    return agg.select(doc.alias("doc"))
+
+
+def _with_related(diags: DataFrame) -> DataFrame:
     if "related_messages" not in diags.columns:
         diags = diags.withColumn(
             "related_messages", F.array().cast("array<string>"))
+    return diags
+
+
+def _doc_aggs() -> list:
+    """The DiagnosticJSON buffer-then-finish aggregate, shared by the
+    unsharded and sharded document sinks so the wire shape cannot drift
+    between them: (conv_id, turn_idx)-sorted payload items + metadata
+    counts (OutputFormatters.swift:113-131, 451-477)."""
     item = F.struct(
         F.col("conv_id"), F.col("turn_idx"),
         F.struct(
@@ -403,16 +418,14 @@ def json_document(diags: DataFrame, verbose: bool = False,
         ).alias("payload"),
     )
     zsum = lambda c: F.coalesce(F.sum(c), F.lit(0).cast("long"))  # noqa: E731
-    agg = diags.agg(
+    return [
         F.array_sort(F.collect_list(item)).alias("items"),
         F.count("*").alias("totalCount"),
         zsum((F.col("severity") == "error").cast("long")).alias("errorCount"),
         zsum((F.col("severity") == "warning").cast("long")).alias("warningCount"),
         zsum((F.col("severity") == "info").cast("long")).alias("infoCount"),
         zsum((F.col("severity") == "note").cast("long")).alias("noteCount"),
-    )
-    doc = _doc_json(verbose, timestamp)
-    return agg.select(doc.alias("doc"))
+    ]
 
 
 def _doc_json(verbose: bool, timestamp: str):
@@ -442,31 +455,9 @@ def json_document_sharded(diags: DataFrame, n_shards: int = 64,
     asserted in pytest). Output (shard bigint, doc string) — the reducer
     unit is a shard, sized by ``n_shards``, not the corpus. Shards with no
     diagnostics emit no row (a reader treats a missing shard as empty)."""
-    if "related_messages" not in diags.columns:
-        diags = diags.withColumn(
-            "related_messages", F.array().cast("array<string>"))
+    diags = _with_related(diags)
     shard = F.pmod(
         F.conv(F.substring(F.md5(F.col("conv_id")), 1, 15), 16, 10).cast("long"),
         F.lit(n_shards))
-    item = F.struct(
-        F.col("conv_id"), F.col("turn_idx"),
-        F.struct(
-            F.col("message"), F.col("severity"), F.col("file"),
-            F.col("line"), F.col("column"),
-            F.col("related_messages").alias("relatedMessages"),
-        ).alias("payload"),
-    )
-    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0).cast("long"))  # noqa: E731
-    agg = (
-        diags.withColumn("shard", shard)
-        .groupBy("shard")
-        .agg(
-            F.array_sort(F.collect_list(item)).alias("items"),
-            F.count("*").alias("totalCount"),
-            zsum((F.col("severity") == "error").cast("long")).alias("errorCount"),
-            zsum((F.col("severity") == "warning").cast("long")).alias("warningCount"),
-            zsum((F.col("severity") == "info").cast("long")).alias("infoCount"),
-            zsum((F.col("severity") == "note").cast("long")).alias("noteCount"),
-        )
-    )
+    agg = diags.withColumn("shard", shard).groupBy("shard").agg(*_doc_aggs())
     return agg.select("shard", _doc_json(verbose, timestamp).alias("doc"))
