@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded vs the exact count in pytest
         "files_affected_approx": lambda spark, sf: agg.files_affected_approx(
             _diags(spark, sf)),
+        # percentile_approx sketch sibling of duration_percentiles — same
+        # rows-only rationale; accuracy bounded vs exact in pytest
+        "duration_percentiles_approx": lambda spark, sf:
+            agg.step_duration_percentiles_approx(load_transcripts(spark, sf)),
         # the combined {diagnostics, metadata} document
         # (OutputFormatters.swift:113-131) — one row, one JSON string; JSON
         # string formatting is engine-specific → rows-only, contract pytest'd

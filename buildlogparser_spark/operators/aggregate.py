@@ -236,3 +236,24 @@ SELECT tool,
        max(dur) AS max_us, count(*) AS n
 FROM durs WHERE dur > 0 GROUP BY tool
 """
+
+
+def step_duration_percentiles_approx(transcripts: DataFrame,
+                                     accuracy: int = 10_000) -> DataFrame:
+    """The 10^12-row sibling of :func:`step_duration_percentiles`:
+    ``percentile_approx`` (t-digest-style sketch — partial-aggregable, no
+    per-group sort, bounded memory per group). Sketch internals are
+    engine-specific → rows-only at the gate; accuracy vs the exact
+    percentiles is bounded in pytest."""
+    d = (
+        step_durations(transcripts, extra_cols=("tool",))
+        .filter(F.col("step_duration_us") > 0)
+    )
+    dur = F.col("step_duration_us")
+    return d.groupBy("tool").agg(
+        F.percentile_approx(dur, 0.5, accuracy).alias("p50_us"),
+        F.percentile_approx(dur, 0.9, accuracy).alias("p90_us"),
+        F.percentile_approx(dur, 0.99, accuracy).alias("p99_us"),
+        F.max(dur).alias("max_us"),
+        F.count("*").alias("n"),
+    )

@@ -139,3 +139,24 @@ def test_files_affected_approx_within_rsd(spark, diags):
     approx = files_affected_approx(diags, rsd=0.05).collect()[0] \
         .files_affected_approx
     assert abs(approx - exact) <= max(3, 0.15 * exact)
+
+
+def test_duration_percentiles_approx_accuracy(spark):
+    """The approx sibling must land within 5% relative error of the exact
+    interpolated percentiles on the sf0.001 stream (p50/p90; p99 of a
+    discrete distribution may snap to a neighboring observed value, so it
+    gets a looser 10% bound)."""
+    from buildlogparser_spark.operators.aggregate import (
+        step_duration_percentiles, step_duration_percentiles_approx)
+    from buildlogparser_spark.transcripts import load_transcripts
+
+    tr = load_transcripts(spark, "/root/testdata/sf0.001")
+    exact = {r.tool: r for r in step_duration_percentiles(tr).collect()}
+    approx = {r.tool: r for r in step_duration_percentiles_approx(tr).collect()}
+    assert set(exact) == set(approx) and len(exact) >= 5
+    for tool, e in exact.items():
+        a = approx[tool]
+        assert a.n == e.n and a.max_us == e.max_us
+        for fld, tol in (("p50_us", 0.05), ("p90_us", 0.05), ("p99_us", 0.10)):
+            ev, av = getattr(e, fld), getattr(a, fld)
+            assert abs(av - ev) <= tol * max(ev, 1), (tool, fld, ev, av)
