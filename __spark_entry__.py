@@ -36,6 +36,7 @@ from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
 from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
+from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import route as rt
@@ -105,6 +106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- transcript & stateless classify (oracled) --------------------
         "transcript_view": lambda spark, sf: load_transcripts(spark, sf).select(
             "conv_id", "turn_idx", "role", "text", "tool"),
+        # StringInput/DataInput line-splitting semantics at table scale
+        # (BuildLogParser.swift:32-84): pack 16 turns per newline-joined
+        # blob, split back — the oracle is the ORIGINAL view, so the gate
+        # checks the round-trip reproduces every line exactly
+        "page_pack": lambda spark, sf: ln.pack_pages(load_transcripts(spark, sf)),
+        "multiline_explode_roundtrip": lambda spark, sf: ln.explode_lines(
+            ln.pack_pages(load_transcripts(spark, sf))),
         "classify_diagnostics": lambda spark, sf: _diags(spark, sf).select(*_DIAG_COLS),
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -284,6 +292,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "transcript_view": (
             "SELECT conv_id, turn_idx, role, text, tool FROM (" + TRANSCRIPT_SQL + ") t"),
+        "page_pack": ln.pack_pages_sql(TRANSCRIPT_SQL),
+        # the round-trip's oracle IS the original stream — pack→explode
+        # must reproduce it row-for-row (blank lines included)
+        "multiline_explode_roundtrip": (
+            "SELECT conv_id, turn_idx, text FROM (" + TRANSCRIPT_SQL + ") t"),
         "classify_diagnostics": _DIAG_SELECT,
         "severity_counts": f"""
             SELECT count(*) AS total_count,

@@ -50,3 +50,23 @@ def test_shuffle_partition_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == two
+
+
+def test_pack_explode_roundtrip_edge_cases(spark):
+    """StringInput semantics round-trip on adversarial shapes: blank lines
+    (also consecutive and page-final), pages shorter than page_size,
+    conversations of 1 turn, unicode, leading/trailing whitespace."""
+    from buildlogparser_spark.operators.lines import explode_lines, pack_pages
+
+    convs = {
+        "one": ["solo line"],
+        "blanks": ["", "", "x", "", ""],
+        "long": [f"line {i}" if i % 3 else "" for i in range(17)],
+        "uni": ["  ⚠️ caret ^  ", "\ttab lead", "ünïcode"],
+    }
+    rows = [(c, i, t) for c, ls in convs.items() for i, t in enumerate(ls)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for k in (1, 2, 16):
+        back = explode_lines(pack_pages(df, page_size=k), page_size=k)
+        got = {(r.conv_id, r.turn_idx): r.text for r in back.collect()}
+        assert got == {(c, i): t for c, i, t in rows}, f"page_size={k}"
