@@ -21,6 +21,13 @@ re-running the giant regex-cascade codegen for each of ~25 queries —
 flat JVM memory and a much shorter exposure window; (c) each oracle embeds
 a slim per-query classify projection (only the columns that query
 aggregates) rather than the full 17-column cascade.
+
+Round-3 reproduction note: the failure was reproduced ONCE locally — and
+only while a SECOND Spark JVM (the full pytest suite) ran concurrently in
+the same sandbox; the identical sweep run alone completes ALL MATCH in
+seconds. This confirms the r02 adjudication: process-level memory
+starvation of the co-resident oracle, not oracle-query size (the failing
+allocation was 16 KB).
 """
 
 from __future__ import annotations

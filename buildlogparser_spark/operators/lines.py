@@ -77,3 +77,56 @@ def explode_lines(pages: DataFrame, page_size: int = 16) -> DataFrame:
             F.col("line").alias("text"),
         )
     )
+
+
+def read_log_files(spark, path: str) -> DataFrame:
+    """The reference's ``FileInput → DataInput`` chain at table scale
+    (BuildLogParser.swift:57-84): whole-file binary read → strict UTF-8
+    validation (invalid files dead-lettered with ``text IS NULL``, the
+    ``invalidEncoding`` analog — same contract as ``route.decode_text``) →
+    newline split into an ordered line stream. Output matches the
+    transcript contract: ``conv_id`` = file path, ``turn_idx`` = 0-based
+    line number, one row per line (blank lines preserved).
+
+    Scale shape: one task per file (binaryFile source), split is a per-row
+    ``posexplode`` — no shuffle, no window; a 100 TB corpus of bounded log
+    files is embarrassingly parallel. A trailing newline yields a final
+    empty line, exactly like Swift ``components(separatedBy: "\\n")``.
+    """
+    raw = (
+        spark.read.format("binaryFile").load(path)
+        .select(F.col("path").alias("conv_id"),
+                F.col("modificationTime").alias("ts"), F.col("content"))
+    )
+    ok = F.is_valid_utf8(F.col("content"))
+    decoded = raw.select(
+        "conv_id", "ts",
+        F.when(ok, F.col("content").cast("string")).alias("blob"))
+    lines = (
+        decoded.filter(F.col("blob").isNotNull())
+        .select(
+            "conv_id", "ts",
+            F.posexplode(F.split(F.col("blob"), "\n", -1)).alias("pos", "line"))
+        .select("conv_id", F.col("pos").cast("int").alias("turn_idx"),
+                F.col("line").alias("text"), "ts")
+    )
+    dead = decoded.filter(F.col("blob").isNull()).select(
+        "conv_id", F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("text"), "ts")
+    return lines.unionByName(dead)
+
+
+def log_files_as_transcripts(spark, path: str) -> DataFrame:
+    """:func:`read_log_files` + the remaining transcript-contract columns so
+    a directory of raw build logs feeds the FULL pipeline (classify →
+    enrich → route → aggregate) unchanged: ``role``/``tool`` default to the
+    reference CLI's world (a file has neither), ``ts`` = file modification
+    time (the closest event-time analog for a static log — routing then
+    buckets all of a file's rows into that day's partition)."""
+    return read_log_files(spark, path).select(
+        "conv_id", "turn_idx",
+        F.lit("tool").alias("role"),
+        "text",
+        F.lit("none").alias("tool"),
+        "ts",
+    )

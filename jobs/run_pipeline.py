@@ -30,7 +30,14 @@ from pyspark.sql import SparkSession, functions as F
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="transcript table path (parquet dir)")
+                    help="transcript table path (parquet dir) or, with "
+                         "--input-format logs, a dir/glob of raw log files")
+    ap.add_argument("--input-format", choices=["parquet", "logs"],
+                    default="parquet",
+                    help="'logs' ingests raw text log files exactly like the "
+                         "reference CLI (whole-file read, UTF-8 validation "
+                         "with dead-lettering, newline split; one "
+                         "conversation per file)")
     ap.add_argument("--output", required=True, help="sink warehouse root")
     ap.add_argument("--n-salt", type=int, default=64)
     ap.add_argument("--ts-granularity", choices=["day", "month"], default="day")
@@ -78,7 +85,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     mx = StageMetrics()
-    transcripts = mx.observe(spark.read.parquet(args.input), "scan")
+    if args.input_format == "logs":
+        from buildlogparser_spark.operators.lines import log_files_as_transcripts
+
+        source = log_files_as_transcripts(spark, args.input)
+    else:
+        source = spark.read.parquet(args.input)
+    transcripts = mx.observe(source, "scan")
     good, dead = split_dead_letter(transcripts)
     dead.write.mode("overwrite").parquet(f"{args.output}/dead_letter")
 

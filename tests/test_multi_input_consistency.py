@@ -70,3 +70,44 @@ def test_pack_explode_roundtrip_edge_cases(spark):
         back = explode_lines(pack_pages(df, page_size=k), page_size=k)
         got = {(r.conv_id, r.turn_idx): r.text for r in back.collect()}
         assert got == {(c, i): t for c, i, t in rows}, f"page_size={k}"
+
+
+def test_read_log_files_matches_oracle_parse(spark, tmp_path):
+    """End-to-end FileInput: write real log files (one per generated
+    conversation, plus one invalid-UTF-8 file), read them back through the
+    binary→validate→split source, and the compile-block assembly over the
+    resulting line stream must equal the oracle parsing the same files —
+    while the invalid file dead-letters (text IS NULL) instead of failing
+    the job (the invalidEncoding analog, BuildLogParser.swift:65-67)."""
+    from collections import Counter
+
+    from buildlogparser_spark.datagen import gen_conversations
+    from buildlogparser_spark.operators.assemble import assemble_compile_blocks
+    from buildlogparser_spark.operators.lines import read_log_files
+    from buildlogparser_spark.oracle import parse_lines_with_turns
+    from buildlogparser_spark.rules.table import CompileErrorRule
+
+    convs: dict[str, list[str]] = {}
+    for conv_id, _i, _r, text, _tl, _ts in gen_conversations(99, 6):
+        convs.setdefault(conv_id, []).append(text)
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    for cid, ls in convs.items():
+        (logdir / f"{cid}.log").write_text("\n".join(ls), encoding="utf-8")
+    (logdir / "broken.log").write_bytes(b"\xff\xfe broken \xff")
+
+    stream = read_log_files(spark, str(logdir))
+    dead = stream.filter(stream.text.isNull()).collect()
+    assert len(dead) == 1 and dead[0].conv_id.endswith("broken.log")
+
+    good = stream.filter(stream.text.isNotNull())
+    got = Counter(
+        (r.conv_id.rsplit("/", 1)[-1].removesuffix(".log"), r.start_turn_idx,
+         r.severity, r.message, tuple(r.related_messages))
+        for r in assemble_compile_blocks(good).collect())
+    exp = Counter(
+        (cid, t, d.severity, d.message, tuple(d.related_messages))
+        for cid, ls in convs.items()
+        for t, d in parse_lines_with_turns(
+            ls, list(range(len(ls))), [CompileErrorRule()]))
+    assert got == exp and sum(exp.values()) > 5

@@ -101,3 +101,44 @@ def test_cli_formatted_reports(spark, tmp_path):
     n_err = diags.filter(F.col("severity") == "error").count()
     assert doc["metadata"]["totalCount"] == n_err
     assert doc["metadata"]["errorCount"] == n_err
+
+
+def test_cli_logs_input_mode(spark, tmp_path):
+    """--input-format logs: a directory of raw build-log files feeds the
+    FULL batch pipeline (whole-file read → UTF-8 dead-letter → split →
+    classify → route → aggregates), one conversation per file — the
+    reference CLI's file-input world end-to-end."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, str(REPO / "jobs"))
+    import run_pipeline
+
+    from buildlogparser_spark.datagen import gen_conversations
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    convs: dict[str, list[str]] = {}
+    for conv_id, _i, _r, text, _tl, _ts in gen_conversations(123, 5):
+        convs.setdefault(conv_id, []).append(text)
+    for cid, ls in convs.items():
+        (logdir / f"{cid}.log").write_text("\n".join(ls), encoding="utf-8")
+    (logdir / "bad.log").write_bytes(b"\xff\xfe nope")
+
+    out = str(tmp_path / "out")
+    rc = run_pipeline.main([
+        "--input", str(logdir), "--input-format", "logs",
+        "--output", out, "--n-salt", "2", "--ts-granularity", "month"])
+    assert rc == 0
+
+    dead = spark.read.parquet(f"{out}/dead_letter")
+    assert dead.count() == 1
+    diags = spark.read.parquet(f"{out}/diagnostics")
+    assert diags.count() > 10
+    # one conversation per file, none from the dead-lettered one
+    cids = {r.conv_id.rsplit("/", 1)[-1] for r in
+            diags.select("conv_id").distinct().collect()}
+    assert cids <= {f"{c}.log" for c in convs}
+    sev = _json.loads(
+        spark.read.text(f"{out}/aggregates/severity_counts").collect()[0].value)
+    assert sev["total_count"] == diags.count()
