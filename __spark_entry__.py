@@ -221,6 +221,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality / length gates — the composed training-corpus pipeline
         "curated_corpus": lambda spark, sf: cur.curated_corpus(
             _docs(spark, sf), snapshot_key=sf),
+        # conversation-granular near-dup: whole transcripts as documents
+        # (pack → shingle → banded LSH → exact-Jaccard verify). Graded over
+        # a deterministic 1-in-3 conversation sample: the exact-Jaccard
+        # verify on multi-KB conversation shingle lists is the sweep's most
+        # expensive oracle (42 s unsampled at sf0.01), and the driver's
+        # DuckDB runs memory-squeezed (module docstring) — same sampling
+        # pattern as embedding_near_dup_exact_sample
+        "conversation_near_dups": lambda spark, sf: dd.conversation_near_dups(
+            load_transcripts(spark, sf).filter(
+                F.substring("conv_id", 6, 10).cast("int") % 3 == 0),
+            snapshot_key=f"{sf}:convs3"),
         # --- similarity search (oracled) ----------------------------------
         "cosine_topk": lambda spark, sf: sim.cosine_topk(
             _emb(spark, sf), _ANN_QUERY_IDS, k=5),
@@ -400,6 +411,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dd.simhash_sql(),
         "simhash_near_pairs": dd.simhash_near_pairs_sql(),
         "curated_corpus": cur.curated_corpus_sql(),
+        "conversation_near_dups": dd.ngram_jaccard_pairs_sql(
+            table=dd.conversation_docs_sql(
+                "SELECT * FROM (" + TRANSCRIPT_SQL + ") tt "
+                "WHERE CAST(substr(conv_id, 6) AS INT) % 3 = 0"),
+            threshold=0.2, num_hashes=32, bands=16),
         "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
         "embedding_near_dup_exact_sample": sim.embedding_near_dup_sql(
             threshold=0.4, where_sql="WHERE vec_id % 5 = 0"),

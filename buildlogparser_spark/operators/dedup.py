@@ -563,3 +563,65 @@ FROM banded l JOIN banded r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# conversation-granular dedup (transcript-level training-data op)
+# ---------------------------------------------------------------------------
+
+
+def conversation_docs(transcripts: DataFrame) -> DataFrame:
+    """(doc_id = conv_id, text = the full newline-joined conversation) —
+    the conversation-granular document view: training pipelines dedup
+    whole conversations, not single turns (a re-run build produces a
+    near-identical conversation, not a near-identical line). One hash
+    aggregate; the in-group sort is bounded because conversations are
+    (reference semantics: a diagnostic never spans conversations, and a
+    conversation is one bounded session)."""
+    from .lines import pack_pages
+
+    return pack_pages(transcripts, page_size=1 << 31).select(
+        F.col("conv_id").alias("doc_id"), "text")
+
+
+def conversation_docs_sql(transcripts_cte: str) -> str:
+    return f"""(
+SELECT conv_id AS doc_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM (
+{transcripts_cte}
+) t GROUP BY conv_id
+)"""
+
+
+def conversation_near_dups(transcripts: DataFrame, threshold: float = 0.2,
+                           num_hashes: int = 32, bands: int = 16,
+                           snapshot_key: str | None = None) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs: n-gram Jaccard ≥ threshold over
+    the conversation-granular documents, LSH-blocked exactly like the
+    document path (banded minhash bucket join — never all-pairs). doc ids
+    are conv_id strings; `<` ordering and joins are binary-collation safe
+    in both engines for the ASCII conv_id contract.
+
+    Defaults are tuned to the synthetic stream (whole conversations built
+    from a shared template alphabet sit at ~0.15-0.26 pairwise Jaccard, so
+    0.2 with 16 bands × 2 rows surfaces the truly-overlapping ones); a
+    real near-dup sweep over re-run build logs would use ~0.8 with the
+    document path's 8 × 4 banding."""
+    docs = conversation_docs(transcripts)
+    # two fixes for the packed-docs subtree, which downstream evaluates
+    # several times (banded signatures + both sides of the verify join):
+    # (a) packed conversations are FEW BYTES but carry heavy per-row
+    #     compute (shingle explode + 32-way minhash) — AQE coalesces the
+    #     small pack shuffle to one partition and would serialize it, so
+    #     fan back out explicitly;
+    # (b) snapshot the packed docs once (keyed) so each consumer re-reads
+    #     a parquet scan instead of re-running the pack aggregate.
+    from ..materialize import materialize
+
+    n = max(transcripts.sparkSession.sparkContext.defaultParallelism, 8)
+    docs = materialize(
+        docs.repartition(n, "doc_id"),
+        key=f"convdocs:{snapshot_key}" if snapshot_key else None, n_files=n)
+    return ngram_jaccard_pairs(docs, threshold=threshold,
+                               num_hashes=num_hashes, bands=bands,
+                               snapshot_key=snapshot_key)

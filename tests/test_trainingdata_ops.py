@@ -180,3 +180,20 @@ def test_near_dup_components_star_no_pairs(spark):
     got = {r.doc_id: r.component_id
            for r in near_dup_components_star(docs, pairs).collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_conversation_near_dups_semantics(spark):
+    """Conversation-granular near-dup: non-empty on the derived stream,
+    ordered pairs, every returned pair at/above the threshold, and every
+    pair's conversations really exist."""
+    from buildlogparser_spark.operators import dedup as dd
+    from buildlogparser_spark.transcripts import load_transcripts
+
+    tr = load_transcripts(spark, "/root/testdata/sf0.001")
+    pairs = dd.conversation_near_dups(tr, snapshot_key="t:conv").collect()
+    assert len(pairs) > 0
+    convs = {r.conv_id for r in tr.select("conv_id").distinct().collect()}
+    for p in pairs:
+        assert p.doc_a < p.doc_b
+        assert p.jaccard >= 0.2
+        assert p.doc_a in convs and p.doc_b in convs
