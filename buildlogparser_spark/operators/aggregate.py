@@ -257,3 +257,106 @@ def step_duration_percentiles_approx(transcripts: DataFrame,
         F.max(dur).alias("max_us"),
         F.count("*").alias("n"),
     )
+
+
+def message_templates(diags: DataFrame, k: int = 20) -> DataFrame:
+    """Log-template mining (lite): collapse run-of-digits to ``N`` in the
+    diagnostic message and count per (template, severity) — the classic
+    first step of log clustering (Drain-style parsers refine this; the
+    digit-mask alone already folds line/column/id variance). Top-k by
+    count with name tie-break → TakeOrderedAndProject, no global sort."""
+    tpl = F.regexp_replace(F.col("message"), r"\d+", "N").alias("template")
+    return (
+        diags.groupBy(tpl, "severity")
+        .agg(F.count("*").alias("n"),
+             F.countDistinct("conv_id").alias("n_convs"))
+        .orderBy(F.desc("n"), F.asc("template"), F.asc("severity"))
+        .limit(k)
+    )
+
+
+def message_templates_sql(diagnostics_select: str, k: int = 20) -> str:
+    return f"""
+SELECT regexp_replace(message, '\\d+', 'N', 'g') AS template, severity,
+       count(*) AS n, count(DISTINCT conv_id) AS n_convs
+FROM ({diagnostics_select}) d
+GROUP BY 1, 2 ORDER BY n DESC, template ASC, severity ASC LIMIT {k}
+"""
+
+
+def error_burst_windows(diags: DataFrame, z: float = 2.0) -> DataFrame:
+    """Per-tool hourly error counts flagged against the tool's own
+    distribution (burst ⇔ n > mean + z·stddev_pop) — the standard
+    telemetry anomaly roll-up. Two hash aggregates + a broadcast-size join
+    on tool; hour buckets are integer epoch-hours (no float binning)."""
+    hour = (F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(3_600_000_000)).cast("long").alias("hour_bucket")
+    per = (
+        diags.filter(F.col("severity") == "error")
+        .groupBy("tool", hour).agg(F.count("*").alias("n"))
+    )
+    # coalesce: population stddev of a 1-window tool is 0 in Spark but the
+    # DuckDB twin coalesces explicitly — keep both engines at 0, never NULL
+    stats = per.groupBy("tool").agg(
+        F.avg("n").alias("mean_n"),
+        F.coalesce(F.stddev_pop("n"), F.lit(0.0)).alias("sd_n"))
+    return (
+        per.join(F.broadcast(stats), "tool")
+        .select(
+            "tool", "hour_bucket", "n",
+            F.round("mean_n", 6).alias("mean_n"),
+            F.round("sd_n", 6).alias("sd_n"),
+            (F.col("n") > F.col("mean_n") + z * F.col("sd_n")).alias("is_burst"),
+        )
+    )
+
+
+def error_burst_windows_sql(diagnostics_select: str, z: float = 2.0) -> str:
+    return f"""
+WITH per AS (
+  SELECT tool, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+         count(*) AS n
+  FROM ({diagnostics_select}) d WHERE severity = 'error'
+  GROUP BY 1, 2
+), stats AS (
+  SELECT tool, avg(n) AS mean_n, coalesce(stddev_pop(n), 0) AS sd_n
+  FROM per GROUP BY tool
+)
+SELECT p.tool, p.hour_bucket, p.n,
+       round(s.mean_n, 6) AS mean_n, round(s.sd_n, 6) AS sd_n,
+       p.n > s.mean_n + {z} * s.sd_n AS is_burst
+FROM per p JOIN stats s ON p.tool = s.tool
+"""
+
+
+def time_to_first_error(transcripts: DataFrame, diags: DataFrame) -> DataFrame:
+    """Seconds from conversation start to its first error (NULL-free: only
+    conversations that errored emit a row) — session-quality diagnostics.
+    Two hash aggregates + one join on conv_id; integer epoch math."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    start = transcripts.groupBy("conv_id").agg(F.min(us).alias("start_us"))
+    first = (
+        diags.filter(F.col("severity") == "error")
+        .groupBy("conv_id").agg(F.min(us).alias("first_err_us"))
+    )
+    return start.join(first, "conv_id").select(
+        "conv_id",
+        ((F.col("first_err_us") - F.col("start_us")) / 1_000_000)
+        .cast("long").alias("secs_to_first_error"),
+    )
+
+
+def time_to_first_error_sql(transcripts_cte: str, diagnostics_select: str) -> str:
+    return f"""
+WITH starts AS (
+  SELECT conv_id, min(epoch_us(ts)) AS start_us
+  FROM ({transcripts_cte}) t GROUP BY conv_id
+), firsts AS (
+  SELECT conv_id, min(epoch_us(ts)) AS first_err_us
+  FROM ({diagnostics_select}) d WHERE severity = 'error' GROUP BY conv_id
+)
+SELECT s.conv_id,
+       CAST((f.first_err_us - s.start_us) // 1000000 AS BIGINT)
+         AS secs_to_first_error
+FROM starts s JOIN firsts f ON s.conv_id = f.conv_id
+"""

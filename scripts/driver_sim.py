@@ -57,7 +57,20 @@ def main() -> int:
         if sql is None:
             print(f"{name}: rows-only, spark={len(sdf)} rows  [{time.time() - t0:.1f}s]")
             continue
-        ddf = con.execute(sql).df()
+        # transient-ENOMEM retry: this Firecracker sandbox sporadically
+        # fails tiny allocations (16 KB) with 122 GB free — measured with
+        # duckdb_memory() sum = 0 and process RSS < 600 MB at the failure,
+        # and an immediate SAME-CONNECTION retry succeeding (see
+        # __spark_entry__ docstring). Two retries absorb it.
+        for attempt in range(3):
+            try:
+                ddf = con.execute(sql).df()
+                break
+            except duckdb.OutOfMemoryException as e:
+                if attempt == 2:
+                    raise
+                print(f"{name}: transient oracle OOM ({e}) — retrying")
+                time.sleep(1)
         a, b = norm(sdf), norm(ddf)
         ok = list(a.columns) == list(b.columns) and len(a) == len(b) and a.equals(b)
         print(f"{name}: spark={len(a)} duck={len(b)} "
