@@ -48,6 +48,23 @@ def duck_oracle():
     return duck_con(SF_ORACLE)
 
 
+def duck_df(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
+    """Execute oracle SQL with a transient-ENOMEM retry: this sandbox VM
+    sporadically fails tiny allocations (duckdb_memory() = 0, RSS < 600 MB,
+    122 GB free at the failure; same-connection retry succeeds — see
+    __spark_entry__ docstring). Two retries absorb it."""
+    import time as _time
+
+    for attempt in range(3):
+        try:
+            return con.execute(sql).df()
+        except duckdb.OutOfMemoryException:
+            if attempt == 2:
+                raise
+            _time.sleep(1)
+    raise AssertionError("unreachable")
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Column-name-sorted, row-sorted, stringified frame for engine-agnostic
     comparison (mirrors the driver's order-insensitive value-hash)."""

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
-from conftest import SF_SMOKE, assert_frames_match
+from conftest import SF_SMOKE, assert_frames_match, duck_df
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())
 
@@ -25,8 +25,7 @@ def test_query_parity(spark, duck_smoke, name):
     if sql is None:
         pytest.skip("rows-only query (no SQL oracle)")
     spark_df = q(spark, SF_SMOKE)
-    duck_df = duck_smoke.execute(sql).df()
-    assert_frames_match(spark_df, duck_df, name)
+    assert_frames_match(spark_df, duck_df(duck_smoke, sql), name)
 
 
 def test_entry_runs(spark):
