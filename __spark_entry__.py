@@ -243,9 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expensive oracle (42 s unsampled at sf0.01), and the driver's
         # DuckDB runs memory-squeezed (module docstring) — same sampling
         # pattern as embedding_near_dup_exact_sample
+        # sample predicate is the IDENTICAL expression in both engines
+        # (substr-to-end + BIGINT): no drift if conv_id's suffix widens
         "conversation_near_dups": lambda spark, sf: dd.conversation_near_dups(
             load_transcripts(spark, sf).filter(
-                F.substring("conv_id", 6, 10).cast("int") % 3 == 0),
+                F.expr("CAST(substr(conv_id, 6) AS BIGINT) % 3 = 0")),
             snapshot_key=f"{sf}:convs3"),
         # --- similarity search (oracled) ----------------------------------
         "cosine_topk": lambda spark, sf: sim.cosine_topk(
@@ -435,7 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_near_dups": dd.ngram_jaccard_pairs_sql(
             table=dd.conversation_docs_sql(
                 "SELECT * FROM (" + TRANSCRIPT_SQL + ") tt "
-                "WHERE CAST(substr(conv_id, 6) AS INT) % 3 = 0"),
+                "WHERE CAST(substr(conv_id, 6) AS BIGINT) % 3 = 0"),
             threshold=0.2, num_hashes=32, bands=16),
         "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
         "embedding_near_dup_exact_sample": sim.embedding_near_dup_sql(

@@ -300,13 +300,19 @@ def error_burst_windows(diags: DataFrame, z: float = 2.0) -> DataFrame:
     stats = per.groupBy("tool").agg(
         F.avg("n").alias("mean_n"),
         F.coalesce(F.stddev_pop("n"), F.lit(0.0)).alias("sd_n"))
+    # the burst flag compares against a threshold ROUNDED in both engines:
+    # an unrounded mean + z·sd differs by ULPs between Spark's and DuckDB's
+    # (and even Spark's own partition-order-dependent) stddev accumulation,
+    # which could flip the gated boolean (same convention as
+    # step_duration_percentiles)
+    thr = F.round(F.col("mean_n") + z * F.col("sd_n"), 6)
     return (
         per.join(F.broadcast(stats), "tool")
         .select(
             "tool", "hour_bucket", "n",
             F.round("mean_n", 6).alias("mean_n"),
             F.round("sd_n", 6).alias("sd_n"),
-            (F.col("n") > F.col("mean_n") + z * F.col("sd_n")).alias("is_burst"),
+            (F.col("n") > thr).alias("is_burst"),
         )
     )
 
@@ -324,7 +330,7 @@ WITH per AS (
 )
 SELECT p.tool, p.hour_bucket, p.n,
        round(s.mean_n, 6) AS mean_n, round(s.sd_n, 6) AS sd_n,
-       p.n > s.mean_n + {z} * s.sd_n AS is_burst
+       p.n > round(s.mean_n + {z} * s.sd_n, 6) AS is_burst
 FROM per p JOIN stats s ON p.tool = s.tool
 """
 

@@ -93,15 +93,16 @@ def read_log_files(spark, path: str) -> DataFrame:
     files is embarrassingly parallel. A trailing newline yields a final
     empty line, exactly like Swift ``components(separatedBy: "\\n")``.
     """
+    from .route import decode_text
+
     raw = (
         spark.read.format("binaryFile").load(path)
         .select(F.col("path").alias("conv_id"),
                 F.col("modificationTime").alias("ts"), F.col("content"))
     )
-    ok = F.is_valid_utf8(F.col("content"))
-    decoded = raw.select(
-        "conv_id", "ts",
-        F.when(ok, F.col("content").cast("string")).alias("blob"))
+    # the validate-then-cast (ANSI-safe) UTF-8 gate lives in ONE place
+    decoded = decode_text(raw, blob_col="content", out_col="blob") \
+        .select("conv_id", "ts", "blob")
     lines = (
         decoded.filter(F.col("blob").isNotNull())
         .select(

@@ -21,9 +21,13 @@ def _key(d: dict) -> tuple:
 
 def test_classify_matches_oracle(spark, duck_smoke):
     # expected: oracle over per-conversation ordered line streams
-    rows = duck_smoke.execute(
-        f"SELECT conv_id, turn_idx, text FROM ({TRANSCRIPT_SQL}) t ORDER BY conv_id, turn_idx"
-    ).fetchall()
+    from conftest import duck_df
+
+    rows = duck_df(
+        duck_smoke,
+        f"SELECT conv_id, turn_idx, text FROM ({TRANSCRIPT_SQL}) t "
+        "ORDER BY conv_id, turn_idx",
+    ).itertuples(index=False)
     convs: dict[str, list[str]] = {}
     for conv_id, _, text in rows:
         convs.setdefault(conv_id, []).append(text)
