@@ -7,34 +7,31 @@ input itself is derived deterministically from the provided ``events`` table
 (see buildlogparser_spark/transcripts.py) so both engines compute over
 identical data.
 
-Driver-environment note (CORRECTNESS_r02): 19 oracle rows failed with
-DuckDB ``Out of Memory Error: Failed to allocate block of 2-256 KB (bad
-allocation)`` — process-level malloc failure in the sweep process while
-co-resident with the Spark JVM, not oracle-size pressure (each oracle is a
-~10k-row query that runs in milliseconds in a fresh DuckDB; all 19 were
-re-verified MATCH). Defenses on this side: (a) ``queries()`` is ordered so
-every DuckDB-oracled query runs FIRST — the Python-worker-spawning
-rows-only queries (``parse_stateful``/``media_features``) run last, after
-the oracle portion of the sweep is done; (b) the classified-diagnostics
-intermediate is snapshot-materialized once per (session, sf) instead of
-re-running the giant regex-cascade codegen for each of ~25 queries —
-flat JVM memory and a much shorter exposure window; (c) each oracle embeds
-a slim per-query classify projection (only the columns that query
-aggregates) rather than the full 17-column cascade.
+Round-4 sweep consolidation (VERDICT r03 #1). Three rounds of evidence
+(CORRECTNESS_r01-r03) show the driver-side DuckDB oracle wedging on a
+transient kernel-level ENOMEM of this sandbox — tiny allocations (2-256 KB)
+failing with >120 GB free, ``duckdb_memory()`` = 0, RSS < 600 MB, a
+same-connection retry succeeding — and in r03 the sweep stopped recording
+after 50 of 64 entries. This round was reproduced builder-side in a FRESH
+DuckDB process with no Spark JVM co-resident at all (first statement of the
+session ENOMEM'd; immediate rerun clean), confirming the failure is
+time/exposure-dependent, not pressure-dependent. Defenses here:
 
-Round-3 ROOT-CAUSE note (supersedes earlier guesses): the failure was
-reproduced deterministically and instrumented. At the moment the oracle
-raises ``Failed to allocate block of 16384 bytes (bad allocation)``:
-process RSS is < 600 MB (VmSize 4.2 GB), system free memory is 122 GB,
-``Committed_AS`` peaks at 13.6 GB against a 63 GB CommitLimit, and
-``duckdb_memory()`` reports ZERO bytes across every tag — yet an
-IMMEDIATE retry of the same SQL on the SAME connection succeeds. The
-allocation failure is a transient kernel-level ENOMEM of this
-Firecracker sandbox (6.18.5-fc), not memory pressure and not an oracle
-defect; every oracle also completes in a DuckDB-only process in < 5 s
-with zero retained memory. A red row with this signature is
-evidence-free of any builder bug; a single retry recovers it
-(scripts/driver_sim.py does so and records the retry).
+* ``queries()`` is consolidated to 40 entries (37 oracled + 3 rows-only):
+  every twin/sibling query moved to ``buildlogparser_spark/gate_folded.py``
+  where ``tests/test_gate_folded.py`` runs the SAME Spark-vs-DuckDB
+  value compare the driver does — nothing lost but the scoreboard row.
+* The training-data queries (dedup/similarity/textstats/media) run EARLY,
+  right after the classify snapshot exists — in r03 they went 13-green →
+  0-recorded purely by sweep position.
+* Every oracle uses MATERIALIZED CTEs for the transcript derivation, the
+  regex-cascade rule dispatch and the self-joined LSH/banded intermediates
+  (DuckDB inlines plain CTEs per reference — the full oracle sweep dropped
+  53.5 s → 10.8 s at sf0.01, a 5× shorter exposure window).
+* The classified-diagnostics intermediate is snapshot-materialized once per
+  (session, sf) to temp parquet, after which the JVM's caches are dropped
+  and a GC is requested (materialize.py) — minimal co-resident footprint
+  while the oracle portion runs.
 """
 
 from __future__ import annotations
@@ -84,16 +81,17 @@ def _diags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classify cascade is a >64 KB-codegen expression tree (janino
     fallback); re-deriving it per query both re-pays the regex work and
-    churns JVM metaspace across a ~50-query sweep. One keyed parquet
-    snapshot (the production pattern: classify output IS a materialized
-    table feeding every downstream sink) keeps each subsequent query a
-    plain pruned parquet scan.
+    churns JVM metaspace across the query sweep. One keyed parquet snapshot
+    (the production pattern: classify output IS a materialized table feeding
+    every downstream sink) keeps each subsequent query a plain pruned
+    parquet scan — and lets the JVM release the codegen/cache footprint
+    before the oracle portion of the sweep runs (materialize(trim_jvm=True)).
     """
     from buildlogparser_spark.materialize import materialize
 
     n = max(spark.sparkContext.defaultParallelism, 8)
     return materialize(classify(load_transcripts(spark, sf_dir)),
-                       key=f"diags:{sf_dir}", n_files=n)
+                       key=f"diags:{sf_dir}", n_files=n, trim_jvm=True)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,20 +112,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so all DuckDB-oracled queries run before any rows-only /
-    Python-worker query (see module docstring, defense (a))."""
+    """40 entries: 37 DuckDB-oracled, then 3 rows-only (their Python workers
+    run after the oracle portion is done). Training-data ops run early —
+    see the module docstring for the consolidation rationale; the folded
+    twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
     return {
-        # --- transcript & stateless classify (oracled) --------------------
+        # --- input layer + classify core (oracled) -------------------------
         "transcript_view": lambda spark, sf: load_transcripts(spark, sf).select(
             "conv_id", "turn_idx", "role", "text", "tool"),
         # StringInput/DataInput line-splitting semantics at table scale
         # (BuildLogParser.swift:32-84): pack 16 turns per newline-joined
-        # blob, split back — the oracle is the ORIGINAL view, so the gate
-        # checks the round-trip reproduces every line exactly
+        # blob; explode_lines round-trip folded to gate_folded/pytest
         "page_pack": lambda spark, sf: ln.pack_pages(load_transcripts(spark, sf)),
-        "multiline_explode_roundtrip": lambda spark, sf: ln.explode_lines(
-            ln.pack_pages(load_transcripts(spark, sf))),
         "classify_diagnostics": lambda spark, sf: _diags(spark, sf).select(*_DIAG_COLS),
+        # --- training-data ops (oracled; EARLY — r03 lost all of them to
+        #     sweep position) ------------------------------------------------
+        "dedup_exact": lambda spark, sf: dd.dedup_exact(_docs(spark, sf)),
+        "lsh_candidates": lambda spark, sf: dd.lsh_candidates(
+            _docs(spark, sf), snapshot_key=sf),
+        # pairs → dedup groups: transitive closure, survivor = min doc_id,
+        # large-star/small-star (O(log n) rounds — the 10^12-doc path)
+        "near_dup_components": lambda spark, sf: dd.near_dup_components_star(
+            _docs(spark, sf),
+            dd.ngram_jaccard_pairs(_docs(spark, sf), snapshot_key=sf)),
+        "simhash_near_pairs": lambda spark, sf: dd.simhash_near_pairs(
+            _docs(spark, sf), snapshot_key=sf),
+        # end-to-end curation: exact dedup → near-dup survivors → lang /
+        # quality / length gates — the composed training-corpus pipeline
+        "curated_corpus": lambda spark, sf: cur.curated_corpus(
+            _docs(spark, sf), snapshot_key=sf),
+        # conversation-granular near-dup: whole transcripts as documents
+        # (pack → shingle → banded LSH → exact-Jaccard verify), graded over
+        # a deterministic 1-in-3 conversation sample; packed text capped at
+        # max_chars in BOTH engines (bounded-conversation enforcement)
+        "conversation_near_dups": lambda spark, sf: dd.conversation_near_dups(
+            load_transcripts(spark, sf).filter(
+                F.expr("CAST(substr(conv_id, 6) AS BIGINT) % 3 = 0")),
+            snapshot_key=f"{sf}:convs3"),
+        "cosine_topk": lambda spark, sf: sim.cosine_topk(
+            _emb(spark, sf), _ANN_QUERY_IDS, k=5),
+        "lang_id": lambda spark, sf: ts.lang_id(_docs(spark, sf)),
+        "token_count": lambda spark, sf: ts.token_count(_docs(spark, sf)),
+        "quality_score": lambda spark, sf: ts.quality_score(_docs(spark, sf)),
+        "media_stats": lambda spark, sf: mm.media_stats(mm.synthetic_media(spark)),
+        # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
         "errors_only": lambda spark, sf: _diags(spark, sf)
@@ -140,8 +168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_files": lambda spark, sf: agg.top_files(_diags(spark, sf)),
         "severity_pct": lambda spark, sf: agg.severity_pct(_diags(spark, sf)),
         "files_affected": lambda spark, sf: agg.files_affected(_diags(spark, sf)),
-        "line_byte_counts": lambda spark, sf: agg.line_byte_counts(
-            load_transcripts(spark, sf)),
         "duration_histogram": lambda spark, sf: agg.duration_histogram(
             load_transcripts(spark, sf)),
         # per-tool latency roll-up (exact interpolated percentiles; see
@@ -162,52 +188,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enriched_class_counts": lambda spark, sf: enrich(_diags(spark, sf))
             .groupBy("diag_class", "tool_family", "default_severity")
             .agg(F.count("*").alias("n")),
-        # --- renders (oracled) --------------------------------------------
+        # --- renders (oracled) ----------------------------------------------
         "text_render": lambda spark, sf: rnd.render_text(_diags(spark, sf)),
-        "json_projection": lambda spark, sf: rnd.json_projection(_diags(spark, sf)),
-        # DiagnosticMetadata counts row (OutputFormatters.swift:469-477)
-        "json_metadata": lambda spark, sf: rnd.json_metadata(_diags(spark, sf)),
         # SummaryOutput's full verbose report as one aggregate-built string
         # (OutputFormatters.swift:295-361)
         "summary_text": lambda spark, sf: rnd.summary_text(
             _diags(spark, sf), verbose=True),
-        # StatsCollector's detailed report (OutputFormatters.swift:377-427)
-        "stats_text": lambda spark, sf: rnd.stats_text(_diags(spark, sf)),
-        # TextOutput verbose mode over multi-line blocks
-        # (OutputFormatters.swift:53-64): relatedMessages appended with
-        # caret-alignment preservation
-        "text_render_verbose": lambda spark, sf: rnd.render_text_verbose(
-            asm.assemble_compile_blocks(load_transcripts(spark, sf))),
-        # --- stateful / multi-line assembly (SURVEY.md §2.2, oracled) -----
+        # --- stateful / multi-line assembly (SURVEY.md §2.2, oracled) -------
+        # R1 compile blocks (windowed default; the chunked twin is folded
+        # with the same oracle SQL), R8 gutter blocks over the aux stream,
+        # R7 XCTest failure blocks with the state-dependent start closed
+        # form — the three hardest multi-line shapes stay graded, the rest
+        # (R2/R3/R6/R9) are folded with the same generic assembler
         "compile_blocks": lambda spark, sf: asm.compile_blocks_flat(
             load_transcripts(spark, sf)),
-        # skew-proof chunked formulation — same semantics, same oracle SQL
-        "compile_blocks_chunked": lambda spark, sf: asm.compile_blocks_flat(
-            load_transcripts(spark, sf),
-            impl=lambda tr: asm.assemble_compile_blocks_chunked(tr, chunk_size=64)),
-        # R2 BUILD FAILED blocks (BuildFailedRule.swift:9,39-46) and R6
-        # linker blocks (LinkerErrorRule.swift:17,35,39) — the reference's
-        # other multi-line shapes, via the generic chunked assembly
-        "build_failed_blocks": lambda spark, sf: asm.build_failed_blocks(
-            load_transcripts(spark, sf)),
-        "linker_blocks": lambda spark, sf: asm.linker_blocks(
-            load_transcripts(spark, sf)),
-        # R8 swift-build 5.9+ gutter blocks and R3 warning detail bodies
-        # (SwiftBuildCompileErrorRule.swift:24-41, XcodebuildWarningRule
-        # .swift:47) over the aux modern-toolchain stream; R7 XCTest failure
-        # blocks (XCTestRule.swift:46-65) over the primary stream — with
-        # these, every multi-line shape in the reference has a scale-path
-        # oracled query and parse_stateful is only the arbitrary-stack
-        # escape hatch.
         "swiftbuild_compile_blocks": lambda spark, sf: asm.swiftbuild_compile_blocks(
-            load_aux_transcripts(spark, sf)),
-        "xcodebuild_warning_blocks": lambda spark, sf: asm.xcodebuild_warning_blocks(
-            load_aux_transcripts(spark, sf)),
-        "module_failed_blocks": lambda spark, sf: asm.module_failed_blocks(
             load_aux_transcripts(spark, sf)),
         "xctest_blocks": lambda spark, sf: asm.xctest_blocks(
             load_transcripts(spark, sf)),
-        # --- routing (fan-out sink layout, oracled) -----------------------
+        # --- routing (fan-out sink layout, oracled) --------------------------
         "routed_partitions": lambda spark, sf: rt.with_sink_partitions(
             _diags(spark, sf), n_salt=16).select(
             "conv_id", "turn_idx", "severity", "diag_class",
@@ -215,109 +214,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dead_letter_split": lambda spark, sf: load_transcripts(spark, sf).agg(
             F.sum(F.when(F.col("text").isNotNull(), 1).otherwise(0)).alias("n_good"),
             F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_dead")),
-        # --- deduplication (training-data ops, oracled) -------------------
-        "dedup_exact": lambda spark, sf: dd.dedup_exact(_docs(spark, sf)),
-        "minhash_signatures": lambda spark, sf: dd.minhash_signatures_flat(
-            _docs(spark, sf)),
-        "lsh_candidates": lambda spark, sf: dd.lsh_candidates(
-            _docs(spark, sf), snapshot_key=sf),
-        "ngram_jaccard_pairs": lambda spark, sf: dd.ngram_jaccard_pairs(
-            _docs(spark, sf), snapshot_key=sf),
-        # pairs → dedup groups: transitive closure, survivor = min doc_id.
-        # Default = large-star/small-star (O(log n) rounds — the 10^12-doc
-        # path); min-propagation kept as the differential twin in pytest.
-        "near_dup_components": lambda spark, sf: dd.near_dup_components_star(
-            _docs(spark, sf),
-            dd.ngram_jaccard_pairs(_docs(spark, sf), snapshot_key=sf)),
-        "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
-        "simhash_near_pairs": lambda spark, sf: dd.simhash_near_pairs(
-            _docs(spark, sf), snapshot_key=sf),
-        # end-to-end curation: exact dedup → near-dup survivors → lang /
-        # quality / length gates — the composed training-corpus pipeline
-        "curated_corpus": lambda spark, sf: cur.curated_corpus(
-            _docs(spark, sf), snapshot_key=sf),
-        # conversation-granular near-dup: whole transcripts as documents
-        # (pack → shingle → banded LSH → exact-Jaccard verify). Graded over
-        # a deterministic 1-in-3 conversation sample: the exact-Jaccard
-        # verify on multi-KB conversation shingle lists is the sweep's most
-        # expensive oracle (42 s unsampled at sf0.01), and the driver's
-        # DuckDB runs memory-squeezed (module docstring) — same sampling
-        # pattern as embedding_near_dup_exact_sample
-        # sample predicate is the IDENTICAL expression in both engines
-        # (substr-to-end + BIGINT): no drift if conv_id's suffix widens
-        "conversation_near_dups": lambda spark, sf: dd.conversation_near_dups(
-            load_transcripts(spark, sf).filter(
-                F.expr("CAST(substr(conv_id, 6) AS BIGINT) % 3 = 0")),
-            snapshot_key=f"{sf}:convs3"),
-        # --- similarity search (oracled) ----------------------------------
-        "cosine_topk": lambda spark, sf: sim.cosine_topk(
-            _emb(spark, sf), _ANN_QUERY_IDS, k=5),
-        # exact all-pairs demoted to a SAMPLED verification query (the
-        # recall oracle): mod-sampled ids keep the quadratic join bounded
-        "embedding_near_dup_exact_sample": lambda spark, sf: sim.embedding_near_dup(
-            _emb(spark, sf).filter(F.col("vec_id") % 5 == 0), threshold=0.4),
-        # --- text analysis (oracled) --------------------------------------
-        "lang_id": lambda spark, sf: ts.lang_id(_docs(spark, sf)),
-        "token_count": lambda spark, sf: ts.token_count(_docs(spark, sf)),
-        "quality_score": lambda spark, sf: ts.quality_score(_docs(spark, sf)),
-        "doc_fingerprint": lambda spark, sf: ts.fingerprint(_docs(spark, sf)),
-        "doc_language_profile": lambda spark, sf: ts.doc_language_profile(
-            _docs(spark, sf)),
-        # --- multimodal plumbing (oracled rows) ---------------------------
-        "media_assets": lambda spark, sf: mm.synthetic_media(spark).select(
-            "asset_id", "media_type",
-            F.octet_length("blob").cast("long").alias("n_bytes"),
-            "width", "height", "duration_ms"),
-        "media_stats": lambda spark, sf: mm.media_stats(mm.synthetic_media(spark)),
-        "media_frame_samples": lambda spark, sf: mm.frame_sample_plan(
-            mm.synthetic_media(spark)).select(
-            "asset_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")),
         # ==================================================================
         # rows-only queries below: no DuckDB oracle; kept after ALL oracled
-        # queries so their Python workers / heavier Spark stages cannot
-        # pressure the co-resident oracle process (module docstring (a)).
+        # queries so their Python workers cannot pressure the co-resident
+        # oracle process.
         # ==================================================================
-        # decode stub is Python-side (mapInPandas) — rows-only check.
-        # (r02: this row was missing from CORRECTNESS entirely — it ran
-        # last; now it leads the rows-only tail.)
+        # decode kernels: REAL for image/ppm (pure-numpy P6 parse) and
+        # audio/wav (stdlib wave), documented strict-mode stub for codec
+        # formats — rows-only check, kernel correctness pytest'd.
         "media_features": lambda spark, sf: mm.extract_features(
-            mm.synthetic_media(spark)).select(
+            mm.graded_media(spark)).select(
             "asset_id", "media_type", "n_bytes",
             F.concat_ws(",", F.transform("feature", lambda v: v.cast("string")))
             .alias("feature_csv")),
-        # HLL++ sketch — engine-specific internals, rows-only; accuracy
-        # bounded vs the exact count in pytest
-        "files_affected_approx": lambda spark, sf: agg.files_affected_approx(
-            _diags(spark, sf)),
-        # percentile_approx sketch sibling of duration_percentiles — same
-        # rows-only rationale; accuracy bounded vs exact in pytest
-        "duration_percentiles_approx": lambda spark, sf:
-            agg.step_duration_percentiles_approx(load_transcripts(spark, sf)),
-        # the combined {diagnostics, metadata} document
-        # (OutputFormatters.swift:113-131) — one row, one JSON string; JSON
-        # string formatting is engine-specific → rows-only, contract pytest'd
-        "json_document": lambda spark, sf: rnd.json_document(
-            _diags(spark, sf).filter(F.col("severity") == "error")),
-        # sharded variant (ROADMAP #5): one document per md5(conv_id) shard,
-        # no single-reducer bound — partition-of-unsharded contract pytest'd
-        "json_document_sharded": lambda spark, sf: rnd.json_document_sharded(
-            _diags(spark, sf).filter(F.col("severity") == "error"), n_shards=16),
         # approximate path: candidate set depends on Python-side hyperplane
         # constants — rows-only check; recall vs cosine_topk asserted in pytest
         "ann_lsh_topk": lambda spark, sf: sim.lsh_topk(
             _emb(spark, sf), _ANN_QUERY_IDS, k=5, n_planes=4, n_tables=16,
             snapshot_key=sf),
-        # PRIMARY near-dup path = LSH-blocked (bucket-equality join, never
-        # all-pairs — the 100 TB-safe plan). Approximate by construction →
-        # rows-only; recall vs exact asserted in pytest.
-        "embedding_near_dup": lambda spark, sf: sim.embedding_near_dup_lsh(
-            _emb(spark, sf), threshold=0.4, snapshot_key=sf),
         # exact consumeLine semantics via applyInPandas — genuinely
         # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
         # entry, driver records the rows-only check; pytest proves it equal
         # to the oracle parser and to compile_blocks on single-rule stacks.
-        # Flat projection: the driver's canonicalization sorts all columns,
-        # so no array<string> output (CORRECTNESS_r01 unhashable-list err).
         "parse_stateful": lambda spark, sf: asm.parse_stateful_flat(
             load_transcripts(spark, sf), default_stack),
     }
@@ -328,11 +246,25 @@ def oracle_sql() -> dict[str, str]:
         "transcript_view": (
             "SELECT conv_id, turn_idx, role, text, tool FROM (" + TRANSCRIPT_SQL + ") t"),
         "page_pack": ln.pack_pages_sql(TRANSCRIPT_SQL),
-        # the round-trip's oracle IS the original stream — pack→explode
-        # must reproduce it row-for-row (blank lines included)
-        "multiline_explode_roundtrip": (
-            "SELECT conv_id, turn_idx, text FROM (" + TRANSCRIPT_SQL + ") t"),
         "classify_diagnostics": _DIAG_SELECT,
+        "dedup_exact": dd.dedup_exact_sql(),
+        "lsh_candidates": dd.lsh_candidates_sql(),
+        "near_dup_components": dd.near_dup_components_sql(
+            dd.ngram_jaccard_pairs_sql()),
+        "simhash_near_pairs": dd.simhash_near_pairs_sql(),
+        "curated_corpus": cur.curated_corpus_sql(),
+        # sample predicate is the IDENTICAL expression in both engines
+        # (substr-to-end + BIGINT): no drift if conv_id's suffix widens
+        "conversation_near_dups": dd.ngram_jaccard_pairs_sql(
+            table=dd.conversation_docs_sql(
+                "SELECT * FROM (" + TRANSCRIPT_SQL + ") tt "
+                "WHERE CAST(substr(conv_id, 6) AS BIGINT) % 3 = 0"),
+            threshold=0.2, num_hashes=32, bands=16),
+        "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
+        "lang_id": ts.lang_id_sql(),
+        "token_count": ts.token_count_sql(),
+        "quality_score": ts.quality_score_sql(),
+        "media_stats": mm.media_stats_sql(),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,
@@ -372,9 +304,6 @@ def oracle_sql() -> dict[str, str]:
         "files_affected": f"""
             SELECT count(DISTINCT coalesce(file, 'Unknown')) AS files_affected
             FROM ({_diag_sql(["file"])}) dg""",
-        "line_byte_counts": (
-            "SELECT count(*) AS total_lines, CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes "
-            "FROM (" + TRANSCRIPT_SQL + ") t"),
         "duration_histogram": (
             """
             SELECT CAST(floor(log2(step_duration_us)) AS BIGINT) AS bucket, count(*) AS n
@@ -383,7 +312,6 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY conv_id ORDER BY turn_idx) AS step_duration_us
               FROM (""" + TRANSCRIPT_SQL + """) t
             ) dd WHERE step_duration_us > 0 GROUP BY 1"""),
-        "session_stats": agg.session_stats_sql(TRANSCRIPT_SQL, gap_minutes=1440),
         "duration_percentiles": agg.step_duration_percentiles_sql(TRANSCRIPT_SQL),
         "message_templates": agg.message_templates_sql(
             _diag_sql(["conv_id", "message", "severity"])),
@@ -391,29 +319,18 @@ def oracle_sql() -> dict[str, str]:
             _diag_sql(["tool", "severity", "ts"])),
         "time_to_first_error": agg.time_to_first_error_sql(
             TRANSCRIPT_SQL, _diag_sql(["conv_id", "severity", "ts"])),
+        "session_stats": agg.session_stats_sql(TRANSCRIPT_SQL, gap_minutes=1440),
         "enriched_class_counts": (
             "SELECT diag_class, tool_family, default_severity, count(*) AS n FROM ("
             + enriched_sql(_diag_sql(["role", "tool", "diag_class"]))
             + ") e GROUP BY diag_class, tool_family, default_severity"),
         "text_render": rnd.render_text_sql(_diag_sql(
             ["conv_id", "turn_idx", "file", "line", "severity", "message"])),
-        "text_render_verbose": rnd.render_text_verbose_sql(
-            asm.compile_blocks_sql(TRANSCRIPT_SQL)),
         "summary_text": rnd.summary_text_sql(
             _diag_sql(["file", "severity"]), verbose=True),
-        "stats_text": rnd.stats_text_sql(_diag_sql(["file", "severity"])),
-        "json_projection": rnd.json_projection_sql(_diag_sql(
-            ["conv_id", "turn_idx", "message", "severity", "file", "line", "column"])),
-        "json_metadata": rnd.json_metadata_sql(_diag_sql(["severity"])),
         "compile_blocks": asm.compile_blocks_sql(TRANSCRIPT_SQL),
-        "compile_blocks_chunked": asm.compile_blocks_sql(TRANSCRIPT_SQL),
-        "build_failed_blocks": asm.build_failed_blocks_sql(TRANSCRIPT_SQL),
-        "linker_blocks": asm.linker_blocks_sql(TRANSCRIPT_SQL),
         "swiftbuild_compile_blocks": asm.swiftbuild_compile_blocks_sql(
             AUX_TRANSCRIPT_SQL),
-        "xcodebuild_warning_blocks": asm.xcodebuild_warning_blocks_sql(
-            AUX_TRANSCRIPT_SQL),
-        "module_failed_blocks": asm.module_failed_blocks_sql(AUX_TRANSCRIPT_SQL),
         "xctest_blocks": asm.xctest_blocks_sql(TRANSCRIPT_SQL),
         "routed_partitions": (
             "SELECT conv_id, turn_idx, severity, diag_class, ts_bucket, conv_bucket FROM ("
@@ -425,34 +342,4 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_good, "
             "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dead "
             "FROM (" + TRANSCRIPT_SQL + ") t"),
-        "dedup_exact": dd.dedup_exact_sql(),
-        "minhash_signatures": dd.minhash_signatures_flat_sql(),
-        "lsh_candidates": dd.lsh_candidates_sql(),
-        "ngram_jaccard_pairs": dd.ngram_jaccard_pairs_sql(),
-        "near_dup_components": dd.near_dup_components_sql(
-            dd.ngram_jaccard_pairs_sql()),
-        "simhash": dd.simhash_sql(),
-        "simhash_near_pairs": dd.simhash_near_pairs_sql(),
-        "curated_corpus": cur.curated_corpus_sql(),
-        "conversation_near_dups": dd.ngram_jaccard_pairs_sql(
-            table=dd.conversation_docs_sql(
-                "SELECT * FROM (" + TRANSCRIPT_SQL + ") tt "
-                "WHERE CAST(substr(conv_id, 6) AS BIGINT) % 3 = 0"),
-            threshold=0.2, num_hashes=32, bands=16),
-        "cosine_topk": sim.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
-        "embedding_near_dup_exact_sample": sim.embedding_near_dup_sql(
-            threshold=0.4, where_sql="WHERE vec_id % 5 = 0"),
-        "lang_id": ts.lang_id_sql(),
-        "token_count": ts.token_count_sql(),
-        "quality_score": ts.quality_score_sql(),
-        "doc_fingerprint": ts.fingerprint_sql(),
-        "doc_language_profile": ts.doc_language_profile_sql(),
-        "media_assets": (
-            "SELECT asset_id, media_type, CAST(length(blob_str) AS BIGINT) AS n_bytes, "
-            "width, height, duration_ms FROM ("
-            + mm.synthetic_media_sql() + ") m"),
-        "media_stats": mm.media_stats_sql(),
-        "media_frame_samples": (
-            "SELECT asset_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms FROM ("
-            + mm.frame_sample_sql() + ") f"),
     }

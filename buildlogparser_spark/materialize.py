@@ -38,7 +38,7 @@ atexit.register(_cleanup)
 
 
 def materialize(df: DataFrame, key: str | None = None,
-                n_files: int | None = None) -> DataFrame:
+                n_files: int | None = None, trim_jvm: bool = False) -> DataFrame:
     """Write ``df`` to a temp parquet dir once and return a scan of it.
 
     ``key=None`` → one-shot snapshot (fresh dir every call): for operator-
@@ -51,6 +51,14 @@ def materialize(df: DataFrame, key: str | None = None,
     ``n_files`` controls output file count — file count is what governs scan
     parallelism at re-read time (splits below the row-group size are empty;
     see memory: perf-pitfalls-r1).
+
+    ``trim_jvm=True`` drops the session's cached relations and requests a
+    JVM GC right after the snapshot is written (first write per key only).
+    Used for the big classify snapshot in the driver's graded sweep: the
+    cascade's codegen classes and scan buffers are dead weight once the
+    snapshot exists, and the co-resident DuckDB oracle runs in a sandbox
+    that has ENOMEM'd three rounds running (CORRECTNESS_r01-r03) — keep the
+    neighbor's footprint minimal while the oracle portion runs.
     """
     spark = df.sparkSession
     app_id = spark.sparkContext.applicationId
@@ -67,4 +75,12 @@ def materialize(df: DataFrame, key: str | None = None,
     df.write.mode("overwrite").parquet(path)
     if key is not None:
         _KEYED[(app_id, key)] = path
+    if trim_jvm:
+        try:
+            spark.catalog.clearCache()
+            jvm = getattr(spark.sparkContext, "_jvm", None)
+            if jvm is not None:
+                jvm.System.gc()
+        except Exception:
+            pass  # hygiene only — never fail a query over it (Connect mode)
     return spark.read.parquet(path)

@@ -164,8 +164,10 @@ def session_stats(transcripts: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def session_stats_sql(transcripts_cte: str, gap_minutes: int = 30) -> str:
     """DuckDB twin of session_stats over a transcripts CTE body."""
     gap_us = gap_minutes * 60 * 1_000_000
+    # MATERIALIZED: see classify.classified_sql — derive the transcript
+    # template CASE once, not once per window/aggregate reference
     return f"""
-WITH transcripts AS (
+WITH transcripts AS MATERIALIZED (
 {transcripts_cte}
 ), ticked AS (
   SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
@@ -222,7 +224,7 @@ def step_duration_percentiles(transcripts: DataFrame) -> DataFrame:
 
 def step_duration_percentiles_sql(transcripts_cte: str) -> str:
     return f"""
-WITH transcripts AS (
+WITH transcripts AS MATERIALIZED (
 {transcripts_cte}
 ), durs AS (
   SELECT tool, epoch_us(ts) - lag(epoch_us(ts))
@@ -300,19 +302,22 @@ def error_burst_windows(diags: DataFrame, z: float = 2.0) -> DataFrame:
     stats = per.groupBy("tool").agg(
         F.avg("n").alias("mean_n"),
         F.coalesce(F.stddev_pop("n"), F.lit(0.0)).alias("sd_n"))
-    # the burst flag compares against a threshold ROUNDED in both engines:
-    # an unrounded mean + z·sd differs by ULPs between Spark's and DuckDB's
-    # (and even Spark's own partition-order-dependent) stddev accumulation,
-    # which could flip the gated boolean (same convention as
-    # step_duration_percentiles)
-    thr = F.round(F.col("mean_n") + z * F.col("sd_n"), 6)
+    # the burst flag is derived from the ALREADY-ROUNDED output columns —
+    # is_burst = n > round6(mean) + z·round6(sd) — in both engines: the
+    # rounded mean/sd are what the gate value-hashes (so they must agree
+    # anyway), and float64 arithmetic on identical rounded doubles is
+    # bit-deterministic, unlike rounding the combined threshold, where a
+    # ULP-level difference in either engine's stddev accumulation landing
+    # on a 6th-decimal boundary could still flip the boolean (ADVICE r03)
+    mean_r = F.round("mean_n", 6)
+    sd_r = F.round("sd_n", 6)
     return (
         per.join(F.broadcast(stats), "tool")
         .select(
             "tool", "hour_bucket", "n",
-            F.round("mean_n", 6).alias("mean_n"),
-            F.round("sd_n", 6).alias("sd_n"),
-            (F.col("n") > thr).alias("is_burst"),
+            mean_r.alias("mean_n"),
+            sd_r.alias("sd_n"),
+            (F.col("n") > mean_r + z * sd_r).alias("is_burst"),
         )
     )
 
@@ -330,7 +335,7 @@ WITH per AS (
 )
 SELECT p.tool, p.hour_bucket, p.n,
        round(s.mean_n, 6) AS mean_n, round(s.sd_n, 6) AS sd_n,
-       p.n > round(s.mean_n + {z} * s.sd_n, 6) AS is_burst
+       p.n > round(s.mean_n, 6) + {z} * round(s.sd_n, 6) AS is_burst
 FROM per p JOIN stats s ON p.tool = s.tool
 """
 

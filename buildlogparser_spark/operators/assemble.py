@@ -459,8 +459,10 @@ def _blocks_sql(transcripts_cte: str, start_sql: str, close_sql: str,
                 cont_sql: str) -> str:
     """DuckDB twin of :func:`assemble_blocks`: produces
     (conv_id, seg, start_turn_idx, header, n_related, related_joined)."""
+    # MATERIALIZED: see classify.classified_sql — the transcript template
+    # CASE must not re-derive per flag-predicate reference
     flagged = f"""
-WITH transcripts AS (
+WITH transcripts AS MATERIALIZED (
 {transcripts_cte}
 ), flags AS (
   SELECT conv_id, turn_idx, text,
@@ -670,9 +672,19 @@ def swiftbuild_compile_blocks(transcripts: DataFrame) -> DataFrame:
         & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 3)) <= 18)
         & (F.length(F.regexp_extract(T, COMPILE_ERROR_RE, 4)) <= 18)
     )
+    # isEnd includes the UNGUARDED start regex (SwiftBuildCompileErrorRule
+    # .swift:118 matches without the Int casts): a header whose line/col
+    # overflows Int64 is rejected as a start (guards above) but still
+    # terminates the open block — without this disjunct the stale block
+    # would keep collecting gutter lines the reference drops (ADVICE r03).
+    # For valid headers is_start is also true, and the assembler's
+    # close-detection is `is_close AND NOT is_start` (end+start same line
+    # semantics, BuildLogParser.swift:327-337), so they are unaffected.
     is_close = (
         (T.startswith("error: ") & T.contains("command failed"))
         | (T.startswith("[") & T.contains("]") & T.contains("Compiling"))
+        | ((T.contains("error:") | T.contains("warning:"))
+           & T.rlike(COMPILE_ERROR_RE))
     )
     is_cont = (
         T.rlike(CONTEXT_LINE_RE)
@@ -709,7 +721,9 @@ def swiftbuild_compile_blocks_sql(transcripts_cte: str) -> str:
              f"AND length(regexp_extract(text, {ce}, 4)) <= 18")
     close = ("(starts_with(text, 'error: ') AND contains(text, 'command failed')) "
              "OR (starts_with(text, '[') AND contains(text, ']') "
-             "AND contains(text, 'Compiling'))")
+             "AND contains(text, 'Compiling')) "
+             "OR ((contains(text, 'error:') OR contains(text, 'warning:')) "
+             f"AND regexp_matches(text, {ce}))")
     cont = (f"regexp_matches(text, {ctx}) OR regexp_matches(text, {ptr}) "
             f"OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0")
     inner = _blocks_sql(transcripts_cte, start, close, cont)

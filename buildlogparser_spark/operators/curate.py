@@ -62,8 +62,11 @@ def curated_corpus_sql(lang: str = "en", min_quality: float = 0.35,
     from .textstats import lang_id_sql, quality_score_sql
 
     pairs = ngram_jaccard_pairs_sql("docs_d", threshold=jaccard_threshold)
+    # MATERIALIZED: docs_d feeds the pairs CTE (3 references), components,
+    # lang and quality gates — inline it and DuckDB re-derives the
+    # exact-dedup semi-join per reference (see classify.classified_sql)
     return f"""
-WITH docs_d AS (
+WITH docs_d AS MATERIALIZED (
   SELECT d.* FROM {table} d
   JOIN (SELECT keep_doc_id AS doc_id FROM ({dedup_exact_sql(table)}) e) s
     USING (doc_id)

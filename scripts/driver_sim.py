@@ -18,6 +18,31 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 
+def _mem_snapshot(con: duckdb.DuckDBPyConnection) -> str:
+    """One-line duckdb_memory()/RSS snapshot, logged at each ENOMEM retry so
+    a genuine memory regression (growing duckdb_memory / RSS) is
+    distinguishable from the sandbox transient (both ~0 — ADVICE r03)."""
+    try:
+        duck = con.execute(
+            "SELECT coalesce(sum(memory_usage_bytes), 0) FROM duckdb_memory()"
+        ).fetchone()[0]
+    except Exception:
+        duck = -1
+    rss = free = -1
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    rss = int(line.split()[1]) // 1024
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    free = int(line.split()[1]) // 1024
+    except OSError:
+        pass
+    return f"duckdb_memory={duck}B rss={rss}MB avail={free}MB"
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     out = pd.DataFrame()
@@ -61,16 +86,19 @@ def main() -> int:
         # fails tiny allocations (16 KB) with 122 GB free — measured with
         # duckdb_memory() sum = 0 and process RSS < 600 MB at the failure,
         # and an immediate SAME-CONNECTION retry succeeding (see
-        # __spark_entry__ docstring). Two retries absorb it.
-        for attempt in range(3):
+        # __spark_entry__ docstring). Exponential backoff + a memory
+        # snapshot per retry: if duckdb_memory/RSS are LARGE here it is a
+        # real regression in the oracle, not the sandbox transient.
+        for attempt in range(5):
             try:
                 ddf = con.execute(sql).df()
                 break
             except duckdb.OutOfMemoryException as e:
-                if attempt == 2:
+                if attempt == 4:
                     raise
-                print(f"{name}: transient oracle OOM ({e}) — retrying")
-                time.sleep(1)
+                print(f"{name}: transient oracle OOM ({e}) — "
+                      f"[{_mem_snapshot(con)}] retrying in {2 ** attempt}s")
+                time.sleep(2 ** attempt)
         a, b = norm(sdf), norm(ddf)
         ok = list(a.columns) == list(b.columns) and len(a) == len(b) and a.equals(b)
         print(f"{name}: spark={len(a)} duck={len(b)} "

@@ -52,16 +52,27 @@ def duck_df(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
     """Execute oracle SQL with a transient-ENOMEM retry: this sandbox VM
     sporadically fails tiny allocations (duckdb_memory() = 0, RSS < 600 MB,
     122 GB free at the failure; same-connection retry succeeds — see
-    __spark_entry__ docstring). Two retries absorb it."""
+    __spark_entry__ docstring). Exponential backoff; each retry logs a
+    duckdb_memory()/RSS snapshot so a REAL memory regression in a new
+    oracle shows up as large numbers here instead of being silently
+    absorbed (ADVICE r03)."""
     import time as _time
 
-    for attempt in range(3):
+    for attempt in range(5):
         try:
             return con.execute(sql).df()
-        except duckdb.OutOfMemoryException:
-            if attempt == 2:
+        except duckdb.OutOfMemoryException as e:
+            if attempt == 4:
                 raise
-            _time.sleep(1)
+            try:
+                duck_bytes = con.execute(
+                    "SELECT coalesce(sum(memory_usage_bytes), 0) "
+                    "FROM duckdb_memory()").fetchone()[0]
+            except Exception:
+                duck_bytes = -1
+            print(f"transient oracle OOM ({e}); duckdb_memory={duck_bytes}B "
+                  f"— retrying in {2 ** attempt}s")
+            _time.sleep(2 ** attempt)
     raise AssertionError("unreachable")
 
 

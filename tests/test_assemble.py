@@ -189,6 +189,47 @@ def test_swiftbuild_compile_blocks_match_oracle(spark):
     assert any(k[-2] > 0 for k in exp)  # real gutter continuations collected
 
 
+def test_swiftbuild_overflow_header_closes_block(spark, duck_smoke):
+    """A header whose line/column overflows Int64 is NOT a valid start
+    (matchStart's Int casts reject it, SwiftBuildCompileErrorRule.swift:66-70)
+    but IS an isEnd (isEnd:118 matches the raw start regex): it must close
+    the open block, and trailing continuation-shaped lines must be dropped —
+    not collected into a stale block (ADVICE r03). Checked against the
+    Python rule oracle AND the DuckDB SQL twin."""
+    import pandas as pd
+
+    from conftest import assert_frames_match, duck_df
+    from buildlogparser_spark.operators.assemble import (
+        swiftbuild_compile_blocks, swiftbuild_compile_blocks_sql)
+    from buildlogparser_spark.rules.table import SwiftBuildCompileErrorRule
+
+    lines = [
+        "/app/a.swift:10:2: error: bad thing",                      # start
+        "  11 |     let x = y1",                                    # gutter
+        "/app/b.swift:99999999999999999999:3: error: overflow",     # close only
+        "      |         `- error: would-be pointer",               # dropped
+        "  12 |     stale gutter",                                  # dropped
+    ]
+    convs = {"ovf_0": lines}
+    rows = [("ovf_0", i, t) for i, t in enumerate(lines)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    exp = _expected_proj(lambda: [SwiftBuildCompileErrorRule()], _SB_ATTRS,
+                         convs=convs)
+    got = _got_proj(swiftbuild_compile_blocks(df), _SB_ATTRS)
+    assert exp == got
+    # exactly one block: the valid header, with ONLY the pre-close gutter
+    assert sum(exp.values()) == 1
+    ((key, _),) = exp.items()
+    assert key[-2] == 1 and key[-1] == "  11 |     let x = y1"
+    # SQL twin agrees value-for-value
+    duck_smoke.register("sb_ovf_pd", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "text"]))
+    sql = swiftbuild_compile_blocks_sql(
+        "SELECT conv_id, turn_idx, text FROM sb_ovf_pd")
+    assert_frames_match(swiftbuild_compile_blocks(df), duck_df(duck_smoke, sql),
+                        "sb_overflow")
+
+
 def test_xcodebuild_warning_blocks_match_oracle(spark):
     from buildlogparser_spark.operators.assemble import xcodebuild_warning_blocks
     from buildlogparser_spark.rules.table import XcodeBuildWarningRule

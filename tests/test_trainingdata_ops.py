@@ -58,6 +58,58 @@ def test_media_strict_stub_raises(spark):
         mm.extract_features(media, strict=True).collect()
 
 
+def test_ppm_decode_is_real(spark):
+    """The image/ppm kernel REALLY decodes: per-channel means equal the
+    known synthetic pixel alphabet values, dims equal the header — and the
+    kernel works in strict mode (it is not the stub)."""
+    feats = {r.asset_id: r.feature
+             for r in mm.extract_features(
+                 mm.synthetic_media(spark, n=12).filter(
+                     F.col("media_type") == "image/ppm"),
+                 strict=True).collect()}
+    assert feats, "no ppm assets generated"
+    for aid, f in feats.items():
+        w, h = aid % 6 + 2, aid % 4 + 2
+        r, g, b = (ord(mm._PPM_ALPHABET[(aid % 8) * 3 + i]) / 255.0
+                   for i in range(3))
+        assert f[0] == w and f[1] == h
+        assert abs(f[2] - r) < 1e-5 and abs(f[3] - g) < 1e-5 and abs(f[4] - b) < 1e-5
+        assert abs(f[6] - round(w / h, 6)) < 1e-5
+
+
+def test_wav_decode_is_real(spark):
+    """The audio/wav kernel really parses RIFF/PCM16: frame counts, rate and
+    duration must match the generator's arithmetic; a square wave of
+    amplitude A has rms A/2^15 exactly."""
+    wavs = mm.synthetic_wav(spark, n=8)
+    feats = {r.asset_id: r.feature
+             for r in mm.extract_features(wavs, strict=True).collect()}
+    assert len(feats) == 8
+    for aid1m, f in feats.items():
+        aid = aid1m - 1_000_000
+        dur_ms = (aid % 8 + 1) * 25
+        n_frames = 8000 * dur_ms // 1000
+        amp = 1000 * (aid % 10 + 1)
+        assert f[0] == 1.0 and f[1] == 8.0                  # mono, 8 kHz
+        assert abs(f[2] - n_frames / 1000.0) < 1e-6         # frames
+        assert abs(f[3] - amp / 32768.0) < 1e-5             # rms == |A|
+        assert abs(f[5] - dur_ms / 1000.0) < 1e-6           # duration
+        assert abs(f[6] - amp / 32768.0) < 1e-5             # peak == |A|
+
+
+def test_graded_media_union_contract(spark):
+    """graded_media = oracled corpus + real-WAV assets, disjoint ids, one
+    feature row per asset through the full mapInPandas path."""
+    media = mm.graded_media(spark)
+    rows = mm.extract_features(media).collect()
+    assert len(rows) == media.count()
+    ids = [r.asset_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    by_type = {r.media_type for r in rows}
+    assert {"image/ppm", "audio/wav", "audio/flac", "video/mp4"} <= by_type
+    assert all(len(r.feature) == 8 for r in rows)
+
+
 def test_frame_sample_counts(spark):
     media = mm.synthetic_media(spark, n=64)
     out = mm.frame_sample_plan(media, every_ms=1000).groupBy("asset_id").count()
@@ -180,6 +232,87 @@ def test_near_dup_components_star_no_pairs(spark):
     got = {r.doc_id: r.component_id
            for r in near_dup_components_star(docs, pairs).collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_conversation_near_dups_fixture_parity(spark, duck_smoke):
+    """Non-vacuous Spark-vs-DuckDB parity for conversation near-dup
+    (ADVICE r03): hand-built near-duplicate conversations that MUST produce
+    >0 pairs through both the Spark path and the exact oracle SQL the gate
+    runs (ngram_jaccard_pairs_sql over conversation_docs_sql) — the sf0.001
+    smoke parity yields 0 pairs in both engines, which proves nothing about
+    the value path."""
+    import pandas as pd
+    from conftest import assert_frames_match, duck_df
+    from buildlogparser_spark.operators import dedup as dd
+
+    base = [f"line {i} alpha beta gamma delta epsilon zeta" for i in range(12)]
+    variant = list(base)
+    variant[5] = "line five is entirely different here okay"
+    other = [f"totally unrelated content row {i} qqq www eee" for i in range(12)]
+    rows = []
+    for conv, lines in (("conv_a", base), ("conv_b", variant), ("conv_c", other)):
+        rows += [(conv, i, t) for i, t in enumerate(lines)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    duck_smoke.register("conv_fixture_pd", pdf)
+    sdf = spark.createDataFrame(pdf)
+
+    spark_pairs = dd.conversation_near_dups(sdf)
+    oracle = dd.ngram_jaccard_pairs_sql(
+        table=dd.conversation_docs_sql(
+            "SELECT conv_id, turn_idx, text FROM conv_fixture_pd"),
+        threshold=0.2, num_hashes=32, bands=16)
+    duck_pairs = duck_df(duck_smoke, oracle)
+    assert len(duck_pairs) > 0, "fixture must produce pairs in the oracle"
+    assert ("conv_a", "conv_b") in {
+        (a, b) for a, b in zip(duck_pairs["doc_a"], duck_pairs["doc_b"])}
+    assert_frames_match(spark_pairs, duck_pairs, "conv_near_dup_fixture")
+
+
+def test_conversation_docs_bounded_hot_conversation(spark):
+    """Bounded-conversation enforcement (VERDICT r03 #5): a 10^6-turn
+    conversation must neither OOM nor skew — the packed document is the
+    capped PREFIX (first MAX_CONV_TURNS turns × MAX_TURN_CHARS chars), via
+    a plain filter, never a whole-conversation window or multi-GB cell."""
+    from pyspark.sql import functions as F
+    from buildlogparser_spark.operators import dedup as dd
+
+    hot = spark.range(1_000_000).select(
+        F.lit("conv_hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(F.lit("turn text number "), F.col("id").cast("string"),
+                 F.lit(" with some padding words here")).alias("text"),
+    )
+    docs = dd.conversation_docs(hot).collect()
+    assert len(docs) == 1
+    cap = dd.MAX_CONV_TURNS * (dd.MAX_TURN_CHARS + 1)
+    assert len(docs[0].text) <= cap
+    # the prefix policy: doc starts at turn 0 and contains exactly the
+    # first MAX_CONV_TURNS lines
+    lines = docs[0].text.split("\n")
+    assert len(lines) == dd.MAX_CONV_TURNS
+    assert lines[0] == "turn text number 0 with some padding words here"
+
+
+def test_conversation_docs_cap_parity(spark, duck_smoke):
+    """The cap itself (turn filter + per-turn truncation) computes
+    identically in both engines, including a turn longer than
+    max_turn_chars."""
+    import pandas as pd
+    from conftest import assert_frames_match, duck_df
+    from buildlogparser_spark.operators import dedup as dd
+
+    rows = [("c1", i, f"short {i}") for i in range(8)]
+    rows.append(("c1", 8, "x" * 50))   # truncated by max_turn_chars=10
+    rows += [("c1", i, f"dropped {i}") for i in range(9, 15)]  # > max_turns
+    rows += [("c2", 0, "only turn")]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    duck_smoke.register("conv_cap_pd", pdf)
+    sdf = spark.createDataFrame(pdf)
+    got = dd.conversation_docs(sdf, max_turns=9, max_turn_chars=10)
+    want_sql = ("SELECT doc_id, text FROM " + dd.conversation_docs_sql(
+        "SELECT conv_id, turn_idx, text FROM conv_cap_pd",
+        max_turns=9, max_turn_chars=10) + " d")
+    assert_frames_match(got, duck_df(duck_smoke, want_sql), "conv_cap")
 
 
 def test_conversation_near_dups_semantics(spark):
