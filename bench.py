@@ -112,15 +112,18 @@ def main() -> None:
         medians: dict[str, float] = {}
         raw_times: dict[str, list[float]] = {}
 
+        # 3×-reps set: q1 defines the headline turns_per_sec; q7/q8/q9
+        # recorded 15-30% r03 'regressions' on unchanged plans (VERDICT r03
+        # perf §: same sweep-contention noise q1 exhibited in r02, where a
+        # 9-rep quiet-window re-run reversed the number — BENCH/NOISE.md)
+        hot = {"q1_flagship_pipeline", "q7_assemble_window",
+               "q8_parse_stateful", "q9_route_writes"}
+
         def timed(name: str, fn) -> None:
             if only and name.split("_")[0] not in only and name not in only:
                 return
             times = []
-            # the flagship defines the headline turns_per_sec — give it 3×
-            # the reps: r02 recorded a 1.75→2.64 s q1 'regression' on an
-            # unchanged plan that a 9-rep quiet-window re-run showed to be
-            # pure host noise (1.47 min / 1.71 median; BENCH/NOISE.md)
-            n = reps * 3 if name == "q1_flagship_pipeline" else reps
+            n = reps * 3 if name in hot else reps
             for _ in range(n):
                 t0 = time.time()
                 fn()
@@ -171,13 +174,13 @@ def main() -> None:
         total = round(sum(queries.values()), 3)
         r02_set = {q: s for q, s in queries.items()
                    if q not in ("q15_swiftbuild_blocks", "q16_xctest_blocks")}
-        # the r02-comparable figure must use r02's methodology: q1 there was
-        # min-of-3, so take the min of this run's FIRST three q1 reps (not
-        # min-of-9 — more reps monotonically lowers the min on a noisy host,
-        # which would bias the 'comparable' sum faster than r02's)
-        if "q1_flagship_pipeline" in r02_set:
-            r02_set["q1_flagship_pipeline"] = round(
-                min(raw_times["q1_flagship_pipeline"][:reps]), 3)
+        # the r02-comparable figure must use r02's methodology: the hot set
+        # there was min-of-3, so take the min of this run's FIRST three reps
+        # (not min-of-9 — more reps monotonically lowers the min on a noisy
+        # host, which would bias the 'comparable' sum faster than r02's)
+        for q in hot:
+            if q in r02_set:
+                r02_set[q] = round(min(raw_times[q][:reps]), 3)
         print(json.dumps({
             "metric": "e2e_bench_sec",
             "value": total,

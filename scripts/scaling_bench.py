@@ -288,6 +288,47 @@ a 1000-executor × 8-core cluster at the same per-core rate would sustain
 ≈ {1e12 / (tput4 * 250) / 3600:.0f} h of cluster time for the full
 parse→enrich→aggregate pass.
 """
+    # append this window to the persistent run history (no cherry-picking:
+    # every completed window is recorded, and the full table is re-rendered
+    # into BASELINE.md from the history file)
+    hist_path = os.path.join(REPO, "BENCH", "SCALING_HISTORY.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({
+            "stamp": stamp,
+            "effs": [round(t["eff"], 3) for t in trials],
+            "ceilings": [round(t["hw"]["ceiling"], 2) for t in trials],
+            "norms": [round(t["norm"], 2) for t in trials],
+            "median_eff": round(eff, 2),
+            "median_norm": round(norm, 2),
+            "note": "",
+        }) + "\n")
+    windows = [json.loads(line) for line in open(hist_path) if line.strip()]
+    all_effs = sorted(e for w in windows for e in w["effs"])
+    all_norms = sorted(n for w in windows for n in w["norms"])
+    hist_rows = "\n".join(
+        "| {stamp} | {effs} | {med_e:.2f} | {med_n:.2f} | {note} |".format(
+            stamp=w["stamp"],
+            effs=", ".join(f"{e:.3f}" for e in w["effs"]),
+            med_e=w["median_eff"], med_n=w["median_norm"],
+            note=w.get("note", "") or "—")
+        for w in windows)
+    md += f"""
+## Run history — every completed window (VERDICT r02 item 10 / r03 item 6)
+
+All recorded windows in full, oldest first (source of truth:
+`BENCH/SCALING_HISTORY.jsonl`; nothing is selected out):
+
+| window | trial efficiencies (raw) | median raw | median normalized | note |
+|---|---|---|---|---|
+{hist_rows}
+
+Across all {len(all_effs)} trials ever recorded: median raw efficiency
+**{all_effs[len(all_effs) // 2]:.2f}**, median normalized-to-ceiling
+**{all_norms[len(all_norms) // 2]:.2f}**; best raw single trial
+{max(all_effs):.2f}. The raw number is ceiling-limited — the pure-CPU
+control itself scales at only 0.64-0.93 here — while the normalized number
+is the sandbox's best estimate of dedicated-hardware behavior.
+"""
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write(md)
