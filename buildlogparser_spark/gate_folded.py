@@ -38,11 +38,15 @@ from buildlogparser_spark.operators import textstats as ts
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import __spark_entry__ as E
+
+    return E._docs(spark, sf_dir)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import __spark_entry__ as E
+
+    return E._emb(spark, sf_dir)
 
 
 def _diags(spark: SparkSession, sf_dir: str) -> DataFrame:

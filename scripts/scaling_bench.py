@@ -292,6 +292,11 @@ parse→enrich→aggregate pass.
     # every completed window is recorded, and the full table is re-rendered
     # into BASELINE.md from the history file)
     hist_path = os.path.join(REPO, "BENCH", "SCALING_HISTORY.jsonl")
+    # median_norm = the median of the window's NORM values — not the norm of
+    # the eff-median trial, whose norm can be the window's max (e.g. norms
+    # [0.85, 0.96, 0.91, 1.14] with the eff-median landing on 1.14 would
+    # overstate "median normalized" by 19%)
+    med_norm = sorted(t["norm"] for t in trials)[len(trials) // 2]
     with open(hist_path, "a") as f:
         f.write(json.dumps({
             "stamp": stamp,
@@ -299,7 +304,7 @@ parse→enrich→aggregate pass.
             "ceilings": [round(t["hw"]["ceiling"], 2) for t in trials],
             "norms": [round(t["norm"], 2) for t in trials],
             "median_eff": round(eff, 2),
-            "median_norm": round(norm, 2),
+            "median_norm": round(med_norm, 2),
             "note": "",
         }) + "\n")
     windows = [json.loads(line) for line in open(hist_path) if line.strip()]

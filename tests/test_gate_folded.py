@@ -47,23 +47,10 @@ def test_folded_query_parity(spark, duck_smoke, name):
     spark_df = q(spark, SF_SMOKE)
     if sql is None:
         # folded rows-only: sketches / engine-specific formats — accuracy
-        # and contract tests live in their own modules; here just prove the
-        # query still runs with a stable non-empty schema after the fold
+        # and contract tests live in their own modules; here prove the
+        # query still runs non-empty with a stable schema after the fold
         rows = spark_df.collect()
         assert len(spark_df.columns) > 0
-        assert len(rows) >= 0
+        assert len(rows) > 0, f"{name}: folded rows-only query went empty"
         return
     assert_frames_match(spark_df, duck_df(duck_smoke, sql), name)
-
-
-def test_roundtrip_identity_beside_page_pack(spark, duck_smoke):
-    """The pack→explode round-trip must reproduce the ORIGINAL stream
-    row-for-row (blank lines included) — the folded twin of the graded
-    page_pack query, asserted against the raw transcript view."""
-    from buildlogparser_spark.transcripts import TRANSCRIPT_SQL
-
-    q = gate_folded.queries()["multiline_explode_roundtrip"]
-    original_sql = (
-        "SELECT conv_id, turn_idx, text FROM (" + TRANSCRIPT_SQL + ") t")
-    assert_frames_match(q(spark, SF_SMOKE), duck_df(duck_smoke, original_sql),
-                        "roundtrip-vs-original")
