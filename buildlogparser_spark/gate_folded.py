@@ -29,6 +29,7 @@ from buildlogparser_spark.transcripts import (
     AUX_TRANSCRIPT_SQL, TRANSCRIPT_SQL, load_aux_transcripts, load_transcripts)
 from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
+from buildlogparser_spark.operators import corpus_filters as cf
 from buildlogparser_spark.operators import dedup as dd
 from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import multimodal as mm
@@ -116,6 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled exact recall oracle of the graded embedding similarity path
         "embedding_near_dup_exact_sample": lambda spark, sf: sim.embedding_near_dup(
             _emb(spark, sf).filter(F.col("vec_id") % 5 == 0), threshold=0.4),
+        # corpus-curation filters (round 4 additions; graded siblings:
+        # quality_score / curated_corpus carry the curation gate rows).
+        # pii_redact runs over deterministically PII-injected docs — the
+        # synthetic table has no PII, a bare run would be vacuous parity
+        "pii_redact": lambda spark, sf: cf.pii_redact(
+            cf.inject_pii(_docs(spark, sf))),
+        "decontaminate": lambda spark, sf: cf.decontaminate(_docs(spark, sf)),
+        "corpus_sample": lambda spark, sf: cf.corpus_sample(_docs(spark, sf)),
+        "repetition_stats": lambda spark, sf: cf.repetition_stats(_docs(spark, sf)),
         # ---- folded rows-only (sketches / engine-specific formats) --------
         # accuracy bounded vs exact in tests/test_checkpoint_metrics.py /
         # test_trainingdata_ops.py; contract tests in test_render_json.py
@@ -167,4 +177,9 @@ def oracle_sql() -> dict[str, str]:
             + mm.frame_sample_sql() + ") f"),
         "embedding_near_dup_exact_sample": sim.embedding_near_dup_sql(
             threshold=0.4, where_sql="WHERE vec_id % 5 = 0"),
+        "pii_redact": cf.pii_redact_sql(
+            table="(" + cf.inject_pii_sql() + ") injected"),
+        "decontaminate": cf.decontaminate_sql(),
+        "corpus_sample": cf.corpus_sample_sql(),
+        "repetition_stats": cf.repetition_stats_sql(),
     }

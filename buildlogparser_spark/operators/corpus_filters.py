@@ -1,0 +1,256 @@
+"""Corpus-curation filters a large-scale training-data pipeline needs
+beyond dedup/textstats: PII redaction, benchmark decontamination,
+deterministic stratified sampling, and repetition statistics (the
+Gopher-style repetition filters of Rae et al. 2021, public).
+
+All Spark-first: pure column expressions where possible; the two ops that
+need cross-row work (decontaminate, repetition_stats) are a broadcast
+bucket-join and a partial-agg groupBy respectively — no window over the
+whole corpus, no collect, no Python UDF. Each operator has a DuckDB twin
+(`*_sql`) compared value-for-value in tests/test_gate_folded.py.
+
+Regex note: the PII patterns are written to the Java-regex ∩ RE2 common
+subset (character classes, bounded repetition, ``\\b``) so Spark and the
+DuckDB oracle match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _md5_i64, _md5_i64_sql, shingles, shingles_sql, tokens, TOKENS_SQL
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Applied IN ORDER; each count is taken on the text as already redacted by
+# the previous steps (so digits inside an email/IP are not double-counted).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("digit_runs", "[0-9]{7,}", "<NUM>"),
+]
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted_text, n_emails, n_ipv4, n_digit_runs): regex PII
+    scrub — emails, IPv4 literals, long digit runs (phone/account-number
+    shaped) → typed placeholders. Pure per-row column expressions: one
+    whole-stage-codegen pass, shuffle-free at any scale."""
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return documents.select("doc_id", cur.alias("redacted_text"), *counts)
+
+
+def pii_redact_sql(table: str = "documents", text_expr: str = "text") -> str:
+    cur = text_expr
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{rep}', 'g')"
+    return (f"SELECT doc_id, {cur} AS redacted_text, {', '.join(counts)} "
+            f"FROM {table}")
+
+
+def inject_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministically append synthetic PII to every 3rd document (by
+    doc_id). Test/bench helper only: the synthetic documents table is
+    lowercase word soup with no PII, so without injection a redaction
+    parity check is vacuous (ADVICE r03 #4 lesson)."""
+    suffix = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref 99887766"), (F.col("doc_id") % 10).cast("string"))
+    return documents.withColumn(
+        text_col,
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col(text_col), suffix))
+        .otherwise(F.col(text_col)))
+
+
+def inject_pii_sql(table: str = "documents") -> str:
+    suffix = ("' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+              " || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 99887766'"
+              " || CAST(doc_id % 10 AS VARCHAR)")
+    return (f"SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || {suffix} "
+            f"ELSE text END AS text FROM {table}")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(documents: DataFrame, bench_mod: int = 97, k: int = 8) -> DataFrame:
+    """(doc_id, n_hit_shingles, contaminated) for every corpus document:
+    flag training docs sharing any ``k``-token shingle with the benchmark
+    set (here deterministically carved out as doc_id % bench_mod == 0 —
+    in production the eval suite itself).
+
+    Scale shape: benchmark eval sets are small by nature (MBs against a
+    100 TB corpus), so the distinct benchmark-shingle set is broadcast;
+    the corpus side is one shingle explode + hash-agg — no shuffle of the
+    corpus beyond the per-doc hit count, never an all-pairs compare."""
+    sh = shingles(F.col("text"), k)
+    bench = (
+        documents.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(sh).alias("shingle")).distinct())
+    corpus = documents.filter(F.col("doc_id") % bench_mod != 0)
+    hits = (
+        corpus.select("doc_id", F.explode(sh).alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id").agg(F.count("*").alias("n_hit_shingles")))
+    return (
+        corpus.select("doc_id").join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
+            (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated")))
+
+
+def decontaminate_sql(table: str = "documents", bench_mod: int = 97, k: int = 8) -> str:
+    sh = shingles_sql("text", k)
+    return f"""
+WITH bench AS MATERIALIZED (
+  SELECT DISTINCT unnest({sh}) AS shingle FROM {table} WHERE doc_id % {bench_mod} = 0
+), corpus AS MATERIALIZED (
+  SELECT doc_id, unnest({sh}) AS shingle FROM {table} WHERE doc_id % {bench_mod} <> 0
+), hits AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM corpus c JOIN bench b USING (shingle) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_shingles,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM {table} WHERE doc_id % {bench_mod} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+# per-language keep rates, in ten-thousandths (integer math only so both
+# engines compare the same values — no float rate × hash rounding skew)
+SAMPLE_RATES_BP: dict[str, int] = {
+    "en": 10_000, "es": 5_000, "de": 5_000, "fr": 2_500, "zh": 2_500}
+SAMPLE_DEFAULT_BP = 1_000
+
+
+def corpus_sample(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, source): deterministic per-language downsampling —
+    keep a doc iff md5('smp'||doc_id) % 10000 < rate_bp[lang]. Seeded by
+    doc_id, so the sample is reproducible across runs/engines and stable
+    under corpus growth (adding docs never flips existing keep decisions —
+    the property a resumable 100 TB mixing job needs). The rates dim is a
+    broadcast join, not a chained CASE, so production can swap in a real
+    rates table without a code change."""
+    spark = documents.sparkSession
+    rates = spark.createDataFrame(
+        [(lang, bp) for lang, bp in sorted(SAMPLE_RATES_BP.items())],
+        "lang string, rate_bp int")
+    bucket = _md5_i64(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))) % 10_000
+    return (
+        documents.join(F.broadcast(rates), "lang", "left")
+        .withColumn("rate_bp", F.coalesce("rate_bp", F.lit(SAMPLE_DEFAULT_BP)))
+        .filter(bucket < F.col("rate_bp"))
+        .select("doc_id", "lang", "source"))
+
+
+def corpus_sample_sql(table: str = "documents") -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}"
+        for lang, bp in sorted(SAMPLE_RATES_BP.items()))
+    bucket = _md5_i64_sql("'smp' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT doc_id, lang, source FROM {table} "
+        f"WHERE {bucket} % 10000 < (CASE {cases} ELSE {SAMPLE_DEFAULT_BP} END)")
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, distinct_ratio, top_token_frac, top_bigram_frac):
+    the repetition signals the Gopher filters threshold on — distinct-token
+    ratio, most-frequent-token fraction, most-frequent-bigram fraction.
+
+    Scale shape: token/bigram counting goes through explode → groupBy
+    (partial aggregation map-side, two hash-aggs) rather than per-row
+    O(n²) list scans, so a pathological million-token document costs O(n)
+    and is spread across partitions by (doc_id, token)."""
+    toks = tokens(F.col("text"))
+    base = documents.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+
+    def top_frac(exploded_col: Column, out: str) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode(exploded_col).alias("g"))
+            .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias(out)))
+
+    stats = base.select(
+        "doc_id", n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"))
+    return (
+        stats
+        .join(top_frac(F.col("toks"), "top_tok"), "doc_id", "left")
+        .join(top_frac(bigrams, "top_bg"), "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.when(F.col("n_tokens") > 0,
+                           F.col("n_distinct") / F.col("n_tokens"))
+                    .otherwise(0.0), 4).alias("distinct_ratio"),
+            F.round(F.when(F.col("n_tokens") > 0,
+                           F.coalesce("top_tok", F.lit(0)) / F.col("n_tokens"))
+                    .otherwise(0.0), 4).alias("top_token_frac"),
+            F.round(F.when(F.col("n_tokens") > 1,
+                           F.coalesce("top_bg", F.lit(0)) / (F.col("n_tokens") - 1))
+                    .otherwise(0.0), 4).alias("top_bigram_frac")))
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+              ELSE [] END AS bigrams
+  FROM base
+), tok_top AS (
+  SELECT doc_id, max(c) AS top_tok FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS g FROM sized) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), bg_top AS (
+  SELECT doc_id, max(c) AS top_bg FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS g FROM sized) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       round(CASE WHEN s.n > 0 THEN CAST(len(list_distinct(s.toks)) AS DOUBLE) / s.n ELSE 0.0 END, 4) AS distinct_ratio,
+       round(CASE WHEN s.n > 0 THEN CAST(coalesce(t.top_tok, 0) AS DOUBLE) / s.n ELSE 0.0 END, 4) AS top_token_frac,
+       round(CASE WHEN s.n > 1 THEN CAST(coalesce(b.top_bg, 0) AS DOUBLE) / (s.n - 1) ELSE 0.0 END, 4) AS top_bigram_frac
+FROM sized s
+LEFT JOIN tok_top t USING (doc_id)
+LEFT JOIN bg_top b USING (doc_id)
+"""

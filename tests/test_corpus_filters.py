@@ -1,0 +1,106 @@
+"""Fixture-based tests for the corpus-curation filters (corpus_filters.py).
+
+The sf parity rows live in test_gate_folded.py; these fixtures pin the
+SEMANTICS on hand-built inputs where the expected values are computed by
+eye — redaction counts, contamination flags, sampling determinism and
+growth stability, and the Gopher repetition fractions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from buildlogparser_spark.operators import corpus_filters as cf
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang, source="s0", n_chars=len(t))
+         for i, (t, lang) in enumerate(rows)])
+
+
+def test_pii_redact_counts_and_order(spark):
+    docs = _docs(spark, [
+        ("mail me at alice.smith+x@sub.example.org thanks", "en"),
+        ("server 192.168.0.1 and 10.20.30.40 up", "en"),
+        ("card 1234567890123456 pin 12345", "en"),  # only the 7+ run redacts
+        ("bob@ex.co from 8.8.8.8 ref 99887766", "en"),  # one of each
+        ("clean text, nothing here", "en"),
+    ])
+    out = {r.doc_id: r for r in cf.pii_redact(docs).collect()}
+    assert out[0].n_emails == 1 and "<EMAIL>" in out[0].redacted_text
+    assert "alice" not in out[0].redacted_text
+    assert out[1].n_ipv4 == 2 and out[1].redacted_text.count("<IP>") == 2
+    assert out[2].n_digit_runs == 1 and "12345" in out[2].redacted_text
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_digit_runs) == (1, 1, 1)
+    assert out[3].redacted_text == "<EMAIL> from <IP> ref <NUM>"
+    assert (out[4].n_emails, out[4].n_ipv4, out[4].n_digit_runs) == (0, 0, 0)
+    assert out[4].redacted_text == out[4].redacted_text  # unchanged shape
+
+
+def test_pii_redact_no_double_count(spark):
+    # digits inside an already-redacted email / IP must not count again as
+    # digit runs: counts are taken on the progressively redacted text
+    docs = _docs(spark, [("reach 12345678@example.com now", "en")])
+    r = cf.pii_redact(docs).collect()[0]
+    assert r.n_emails == 1
+    assert r.n_digit_runs == 0
+    assert r.redacted_text == "reach <EMAIL> now"
+
+
+def test_decontaminate_flags_overlap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        # doc_id 0 → benchmark (0 % 97 == 0)
+        (f"{shared} benchmark tail words", "en"),
+        # doc 1: contains the benchmark 8-gram → contaminated
+        (f"prefix words {shared} suffix", "en"),
+        # doc 2: disjoint vocabulary → clean
+        ("one two three four five six seven eight nine ten", "en"),
+        # doc 3: shares tokens but never 8 in a row → clean
+        ("alpha beta gamma delta STOP epsilon zeta eta theta", "en"),
+    ]
+    out = {r.doc_id: r for r in cf.decontaminate(_docs(spark, rows)).collect()}
+    assert set(out) == {1, 2, 3}  # benchmark doc excluded from the corpus
+    assert out[1].contaminated and out[1].n_hit_shingles >= 1
+    assert not out[2].contaminated and out[2].n_hit_shingles == 0
+    assert not out[3].contaminated
+
+
+def test_corpus_sample_deterministic_and_growth_stable(spark):
+    rows = [("word soup %d" % i, lang)
+            for i, lang in enumerate(["en", "es", "de", "fr", "zh", "it"] * 40)]
+    docs = _docs(spark, rows)
+    first = {r.doc_id for r in cf.corpus_sample(docs).collect()}
+    again = {r.doc_id for r in cf.corpus_sample(docs).collect()}
+    assert first == again  # reproducible
+    # growth stability: adding new docs never flips an existing decision
+    grown = docs.union(_docs(spark, [("new doc", "en")]).withColumn(
+        "doc_id", F.col("doc_id") + 10_000))
+    after = {r.doc_id for r in cf.corpus_sample(grown).collect()}
+    assert {d for d in after if d < 10_000} == first
+    # en keeps everything (rate 10000 bp); unknown lang 'it' keeps ~10%
+    langs = {r.doc_id: r.lang for r in docs.collect()}
+    en_ids = {d for d, l in langs.items() if l == "en"}
+    assert en_ids <= first
+    it_kept = len({d for d in first if langs[d] == "it"})
+    assert it_kept < 40 * 0.5  # well below the 50% tiers
+
+
+def test_repetition_stats_fractions(spark):
+    rows = [
+        ("a a a b", "en"),       # top tok a: 3/4; bigram 'a a': 2/3; distinct 2/4
+        ("x", "en"),             # single token: no bigrams
+        ("", "en"),              # empty
+        ("p q r s", "en"),       # all distinct
+    ]
+    out = {r.doc_id: r for r in cf.repetition_stats(_docs(spark, rows)).collect()}
+    assert out[0].n_tokens == 4
+    assert out[0].distinct_ratio == 0.5
+    assert out[0].top_token_frac == 0.75
+    assert out[0].top_bigram_frac == round(2 / 3, 4)
+    assert out[1].n_tokens == 1 and out[1].top_bigram_frac == 0.0
+    assert out[1].top_token_frac == 1.0
+    assert out[2].n_tokens == 0
+    assert (out[2].distinct_ratio, out[2].top_token_frac, out[2].top_bigram_frac) \
+        == (0.0, 0.0, 0.0)
+    assert out[3].distinct_ratio == 1.0 and out[3].top_token_frac == 0.25
