@@ -178,15 +178,32 @@ def corpus_sample_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
+def _round4(x: Column) -> Column:
+    """Half-up round to 4 decimals via IEEE754 double arithmetic —
+    floor(x*1e4 + 0.5)/1e4 — identical bit-for-bit in Spark and DuckDB.
+    Spark's round() re-parses the shortest decimal string into BigDecimal
+    while DuckDB rounds the scaled binary double; for ratios like
+    57/800 = 0.07125 the two land on opposite sides of the half (0.0713
+    vs 0.0712). Non-negative inputs only."""
+    return F.floor(x * 10_000 + F.lit(0.5)) / 10_000
+
+
+def _round4_sql(expr: str) -> str:
+    return f"floor(({expr}) * 10000 + 0.5) / 10000"
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, distinct_ratio, top_token_frac, top_bigram_frac):
     the repetition signals the Gopher filters threshold on — distinct-token
     ratio, most-frequent-token fraction, most-frequent-bigram fraction.
 
-    Scale shape: token/bigram counting goes through explode → groupBy
-    (partial aggregation map-side, two hash-aggs) rather than per-row
-    O(n²) list scans, so a pathological million-token document costs O(n)
-    and is spread across partitions by (doc_id, token)."""
+    Scale shape: ONE scan of the corpus — tokens and bigrams are tagged and
+    exploded together, then two hash-aggs (map-side partial first) recover
+    every per-doc statistic: n_tokens = Σ token counts, n_distinct = #
+    distinct token rows, top fractions = conditional maxes. A pathological
+    million-token document costs O(n) spread across partitions by
+    (doc_id, kind, gram); only a doc_id-pruned scan joins back the docs
+    with zero tokens."""
     toks = tokens(F.col("text"))
     base = documents.select("doc_id", toks.alias("toks"))
     n = F.size("toks")
@@ -195,31 +212,36 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         F.transform(F.sequence(F.lit(1), n - 1),
                     lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)))
     ).otherwise(F.array().cast("array<string>"))
-
-    def top_frac(exploded_col: Column, out: str) -> DataFrame:
-        return (
-            base.select("doc_id", F.explode(exploded_col).alias("g"))
-            .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-            .groupBy("doc_id").agg(F.max("c").alias(out)))
-
-    stats = base.select(
-        "doc_id", n.cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"))
+    tagged = F.concat(
+        F.transform(F.col("toks"),
+                    lambda t: F.struct(F.lit("t").alias("kind"), t.alias("g"))),
+        F.transform(bigrams,
+                    lambda b: F.struct(F.lit("b").alias("kind"), b.alias("g"))))
+    per_doc = (
+        base.select("doc_id", F.explode(tagged).alias("x"))
+        .groupBy("doc_id", "x.kind", "x.g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(
+            F.sum(F.when(F.col("kind") == "t", F.col("c"))).alias("n_tokens"),
+            F.count(F.when(F.col("kind") == "t", 1)).alias("n_distinct"),
+            F.max(F.when(F.col("kind") == "t", F.col("c"))).alias("top_tok"),
+            F.max(F.when(F.col("kind") == "b", F.col("c"))).alias("top_bg")))
     return (
-        stats
-        .join(top_frac(F.col("toks"), "top_tok"), "doc_id", "left")
-        .join(top_frac(bigrams, "top_bg"), "doc_id", "left")
+        documents.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "n_distinct", "top_tok", "top_bg")
         .select(
             "doc_id", "n_tokens",
-            F.round(F.when(F.col("n_tokens") > 0,
+            _round4(F.when(F.col("n_tokens") > 0,
                            F.col("n_distinct") / F.col("n_tokens"))
-                    .otherwise(0.0), 4).alias("distinct_ratio"),
-            F.round(F.when(F.col("n_tokens") > 0,
+                    .otherwise(0.0)).alias("distinct_ratio"),
+            _round4(F.when(F.col("n_tokens") > 0,
                            F.coalesce("top_tok", F.lit(0)) / F.col("n_tokens"))
-                    .otherwise(0.0), 4).alias("top_token_frac"),
-            F.round(F.when(F.col("n_tokens") > 1,
+                    .otherwise(0.0)).alias("top_token_frac"),
+            _round4(F.when(F.col("n_tokens") > 1,
                            F.coalesce("top_bg", F.lit(0)) / (F.col("n_tokens") - 1))
-                    .otherwise(0.0), 4).alias("top_bigram_frac")))
+                    .otherwise(0.0)).alias("top_bigram_frac")))
 
 
 def repetition_stats_sql(table: str = "documents") -> str:
@@ -247,9 +269,9 @@ WITH base AS MATERIALIZED (
 )
 SELECT s.doc_id,
        CAST(s.n AS BIGINT) AS n_tokens,
-       round(CASE WHEN s.n > 0 THEN CAST(len(list_distinct(s.toks)) AS DOUBLE) / s.n ELSE 0.0 END, 4) AS distinct_ratio,
-       round(CASE WHEN s.n > 0 THEN CAST(coalesce(t.top_tok, 0) AS DOUBLE) / s.n ELSE 0.0 END, 4) AS top_token_frac,
-       round(CASE WHEN s.n > 1 THEN CAST(coalesce(b.top_bg, 0) AS DOUBLE) / (s.n - 1) ELSE 0.0 END, 4) AS top_bigram_frac
+       {_round4_sql("CASE WHEN s.n > 0 THEN CAST(len(list_distinct(s.toks)) AS DOUBLE) / s.n ELSE 0.0 END")} AS distinct_ratio,
+       {_round4_sql("CASE WHEN s.n > 0 THEN CAST(coalesce(t.top_tok, 0) AS DOUBLE) / s.n ELSE 0.0 END")} AS top_token_frac,
+       {_round4_sql("CASE WHEN s.n > 1 THEN CAST(coalesce(b.top_bg, 0) AS DOUBLE) / (s.n - 1) ELSE 0.0 END")} AS top_bigram_frac
 FROM sized s
 LEFT JOIN tok_top t USING (doc_id)
 LEFT JOIN bg_top b USING (doc_id)

@@ -56,12 +56,18 @@ TOKENS_SQL = (
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles as space-joined strings (distinct)."""
+    """k-word shingles as space-joined strings (distinct). Empty for docs
+    with fewer than k tokens — the n >= k gate is load-bearing: Spark's
+    sequence(1, stop) DESCENDS for stop < 1 (sequence(1, 0) = [1, 0]), and
+    slice(toks, 0, k) then aborts the job; DuckDB's range(1, 1) is simply
+    empty. The gate makes short documents match the SQL twin instead of
+    crashing the stage."""
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                     lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))))
+        F.when(n >= k, sh).otherwise(F.array().cast("array<string>")))
 
 
 def shingles_sql(c: str, k: int = 3) -> str:

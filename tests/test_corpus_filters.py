@@ -34,7 +34,7 @@ def test_pii_redact_counts_and_order(spark):
     assert (out[3].n_emails, out[3].n_ipv4, out[3].n_digit_runs) == (1, 1, 1)
     assert out[3].redacted_text == "<EMAIL> from <IP> ref <NUM>"
     assert (out[4].n_emails, out[4].n_ipv4, out[4].n_digit_runs) == (0, 0, 0)
-    assert out[4].redacted_text == out[4].redacted_text  # unchanged shape
+    assert out[4].redacted_text == "clean text, nothing here"
 
 
 def test_pii_redact_no_double_count(spark):
@@ -64,6 +64,36 @@ def test_decontaminate_flags_overlap(spark):
     assert out[1].contaminated and out[1].n_hit_shingles >= 1
     assert not out[2].contaminated and out[2].n_hit_shingles == 0
     assert not out[3].contaminated
+
+
+def test_decontaminate_short_docs_do_not_crash(spark):
+    # docs with fewer than k=8 tokens must yield empty shingle sets (like
+    # the DuckDB twin), not abort the stage — Spark's sequence(1, 0)
+    # descends to [1, 0] and slice(toks, 0, k) throws without the n >= k
+    # gate in dedup.shingles()
+    rows = [
+        ("benchmark doc that has more than eight whole tokens inside", "en"),
+        ("only three tokens", "en"),
+        ("", "en"),
+    ]
+    out = {r.doc_id: r for r in cf.decontaminate(_docs(spark, rows)).collect()}
+    assert set(out) == {1, 2}
+    assert not out[1].contaminated and out[1].n_hit_shingles == 0
+    assert not out[2].contaminated and out[2].n_hit_shingles == 0
+
+
+def test_repetition_round4_cross_engine_case(spark):
+    # 57/800 = 0.07125: decimal-string rounding (Spark round()) and scaled
+    # binary-double rounding (DuckDB round()) land on opposite sides of
+    # the half; the floor(x*1e4+0.5)/1e4 formulation is identical IEEE754
+    # arithmetic in both engines and in Python
+    import math
+
+    text = " ".join(["tok"] * 57 + [f"w{i}" for i in range(743)])
+    out = cf.repetition_stats(_docs(spark, [(text, "en")])).collect()[0]
+    assert out.n_tokens == 800
+    assert out.top_token_frac == math.floor(57 / 800 * 10_000 + 0.5) / 10_000
+    assert out.distinct_ratio == math.floor(744 / 800 * 10_000 + 0.5) / 10_000
 
 
 def test_corpus_sample_deterministic_and_growth_stable(spark):
