@@ -135,6 +135,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8, help="cores per executor")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--note", default="",
+                    help="free-text provenance recorded with this window")
     args = ap.parse_args()
 
     import tempfile
@@ -211,9 +213,15 @@ def main() -> None:
     best = max(trials, key=lambda r: r["eff"])
     hw, one, four = med["hw"], med["one"], med["four"]
     tput1, tput4, wall4 = med["tput1"], med["tput4"], med["wall4"]
-    eff, norm = med["eff"], med["norm"]
-    print(f"median: efficiency={eff:.3f}  (hardware ceiling {hw['ceiling']:.2f}, "
-          f"normalized {norm:.2f}); best trial eff={best['eff']:.3f}")
+    eff = med["eff"]
+    # ONE normalized definition everywhere (r03 verdict flagged two numbers
+    # presented as the same statistic): the median over trials of each
+    # trial's eff/ceiling — never the eff-median trial's own norm, which can
+    # be the window's min or max (e.g. this window's eff-median trial had
+    # the highest ceiling, norm 0.70, vs median-of-norms 0.87)
+    med_norm = sorted(t["norm"] for t in trials)[len(trials) // 2]
+    print(f"median: efficiency={eff:.3f}, normalized (median of per-trial "
+          f"eff/ceiling) {med_norm:.2f}; best trial eff={best['eff']:.3f}")
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -266,18 +274,21 @@ host lets anything scale in that window.
 ## Hardware ceiling (control experiment)
 
 This sandbox's 32 vCPUs are host-oversubscribed: 32 concurrent PURE-CPU
-md5-loop processes achieve only **{hw['ceiling']:.2f}** of 4× the 8-process
-aggregate throughput — no workload can scale past that here.
+md5-loop processes achieve only
+**{min(t['hw']['ceiling'] for t in trials):.2f}-{max(t['hw']['ceiling'] for t in trials):.2f}**
+(per trial, this window) of 4× the 8-process aggregate throughput — no
+workload can scale past that here.
 
-**Pipeline efficiency normalized to the hardware ceiling =
-{eff:.2f} / {hw['ceiling']:.2f} = {norm:.2f}.**
+**Pipeline efficiency normalized to the hardware ceiling — the median
+over trials of each trial's eff/ceiling (the same statistic the run
+history reports) = {med_norm:.2f}.**
 
 On real cluster hardware (dedicated cores per executor, the regime the
 north_rule's ≥0.8 refers to) the pipeline's shape is embarrassingly
 parallel up to the final ~100-row aggregate: scan and classify are
 per-partition, the enrichment joins are broadcast (no fact shuffle), and
 the single shuffle moves only the grouped partial aggregates (bytes, not
-rows). The measured normalized efficiency of {norm:.2f} is the sandbox
+rows). The measured normalized efficiency of {med_norm:.2f} is the sandbox
 approximation of that regime.
 
 ## Interpreting turns/sec
@@ -292,11 +303,6 @@ parse→enrich→aggregate pass.
     # every completed window is recorded, and the full table is re-rendered
     # into BASELINE.md from the history file)
     hist_path = os.path.join(REPO, "BENCH", "SCALING_HISTORY.jsonl")
-    # median_norm = the median of the window's NORM values — not the norm of
-    # the eff-median trial, whose norm can be the window's max (e.g. norms
-    # [0.85, 0.96, 0.91, 1.14] with the eff-median landing on 1.14 would
-    # overstate "median normalized" by 19%)
-    med_norm = sorted(t["norm"] for t in trials)[len(trials) // 2]
     with open(hist_path, "a") as f:
         f.write(json.dumps({
             "stamp": stamp,
@@ -305,11 +311,12 @@ parse→enrich→aggregate pass.
             "norms": [round(t["norm"], 2) for t in trials],
             "median_eff": round(eff, 2),
             "median_norm": round(med_norm, 2),
-            "note": "",
+            "note": args.note,
         }) + "\n")
     windows = [json.loads(line) for line in open(hist_path) if line.strip()]
     all_effs = sorted(e for w in windows for e in w["effs"])
     all_norms = sorted(n for w in windows for n in w["norms"])
+    all_ceils = sorted(c for w in windows for c in w.get("ceilings", []))
     hist_rows = "\n".join(
         "| {stamp} | {effs} | {med_e:.2f} | {med_n:.2f} | {note} |".format(
             stamp=w["stamp"],
@@ -331,7 +338,8 @@ Across all {len(all_effs)} trials ever recorded: median raw efficiency
 **{all_effs[len(all_effs) // 2]:.2f}**, median normalized-to-ceiling
 **{all_norms[len(all_norms) // 2]:.2f}**; best raw single trial
 {max(all_effs):.2f}. The raw number is ceiling-limited — the pure-CPU
-control itself scales at only 0.64-0.93 here — while the normalized number
+control itself scales at only {min(all_ceils):.2f}-{max(all_ceils):.2f}
+here — while the normalized number
 is the sandbox's best estimate of dedicated-hardware behavior.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
