@@ -298,7 +298,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_diag_sql(["file"])}) dg GROUP BY 1
             ORDER BY n DESC, file ASC LIMIT 5""",
         "severity_pct": f"""
-            SELECT severity, n, round(n * 100.0 / sum(n) OVER (), 2) AS pct
+            SELECT severity, n,
+                   floor((n * 100.0 / sum(n) OVER ()) * 100 + 0.5) / 100 AS pct
             FROM (SELECT severity, count(*) AS n
                   FROM ({_diag_sql(["severity"])}) dg GROUP BY severity) c""",
         "files_affected": f"""

@@ -9,6 +9,8 @@ stable names so the driver's Spark↔DuckDB value-hash compare lines up.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..rounding import portable_round, portable_round_sql
 from pyspark.sql.window import Window
 
 
@@ -78,7 +80,7 @@ def severity_pct(diags: DataFrame) -> DataFrame:
     total = Window.partitionBy()
     return counts.select(
         "severity", "n",
-        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 2).alias("pct"),
+        portable_round(F.col("n") * 100.0 / F.sum("n").over(total), 2).alias("pct"),
     )
 
 
@@ -214,9 +216,9 @@ def step_duration_percentiles(transcripts: DataFrame) -> DataFrame:
     )
     dur = F.col("step_duration_us")
     return d.groupBy("tool").agg(
-        F.round(F.percentile(dur, 0.5), 6).alias("p50_us"),
-        F.round(F.percentile(dur, 0.9), 6).alias("p90_us"),
-        F.round(F.percentile(dur, 0.99), 6).alias("p99_us"),
+        portable_round(F.percentile(dur, 0.5), 6).alias("p50_us"),
+        portable_round(F.percentile(dur, 0.9), 6).alias("p90_us"),
+        portable_round(F.percentile(dur, 0.99), 6).alias("p99_us"),
         F.max(dur).alias("max_us"),
         F.count("*").alias("n"),
     )
@@ -232,9 +234,9 @@ WITH transcripts AS MATERIALIZED (
   FROM transcripts
 )
 SELECT tool,
-       round(quantile_cont(dur, 0.5), 6) AS p50_us,
-       round(quantile_cont(dur, 0.9), 6) AS p90_us,
-       round(quantile_cont(dur, 0.99), 6) AS p99_us,
+       {portable_round_sql(f'quantile_cont(dur, 0.5)', 6)} AS p50_us,
+       {portable_round_sql(f'quantile_cont(dur, 0.9)', 6)} AS p90_us,
+       {portable_round_sql(f'quantile_cont(dur, 0.99)', 6)} AS p99_us,
        max(dur) AS max_us, count(*) AS n
 FROM durs WHERE dur > 0 GROUP BY tool
 """
@@ -309,8 +311,8 @@ def error_burst_windows(diags: DataFrame, z: float = 2.0) -> DataFrame:
     # bit-deterministic, unlike rounding the combined threshold, where a
     # ULP-level difference in either engine's stddev accumulation landing
     # on a 6th-decimal boundary could still flip the boolean (ADVICE r03)
-    mean_r = F.round("mean_n", 6)
-    sd_r = F.round("sd_n", 6)
+    mean_r = portable_round(F.col("mean_n"), 6)
+    sd_r = portable_round(F.col("sd_n"), 6)
     return (
         per.join(F.broadcast(stats), "tool")
         .select(
@@ -334,8 +336,8 @@ WITH per AS (
   FROM per GROUP BY tool
 )
 SELECT p.tool, p.hour_bucket, p.n,
-       round(s.mean_n, 6) AS mean_n, round(s.sd_n, 6) AS sd_n,
-       p.n > round(s.mean_n, 6) + {z} * round(s.sd_n, 6) AS is_burst
+       {portable_round_sql('s.mean_n', 6)} AS mean_n, {portable_round_sql('s.sd_n', 6)} AS sd_n,
+       p.n > {portable_round_sql('s.mean_n', 6)} + {z} * {portable_round_sql('s.sd_n', 6)} AS is_burst
 FROM per p JOIN stats s ON p.tool = s.tool
 """
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..rounding import portable_round, portable_round_sql
 from .dedup import _md5_i64, _md5_i64_sql, shingles, shingles_sql, tokens, TOKENS_SQL
 
 # ---------------------------------------------------------------------------
@@ -179,17 +180,11 @@ def corpus_sample_sql(table: str = "documents") -> str:
 
 
 def _round4(x: Column) -> Column:
-    """Half-up round to 4 decimals via IEEE754 double arithmetic —
-    floor(x*1e4 + 0.5)/1e4 — identical bit-for-bit in Spark and DuckDB.
-    Spark's round() re-parses the shortest decimal string into BigDecimal
-    while DuckDB rounds the scaled binary double; for ratios like
-    57/800 = 0.07125 the two land on opposite sides of the half (0.0713
-    vs 0.0712). Non-negative inputs only."""
-    return F.floor(x * 10_000 + F.lit(0.5)) / 10_000
+    return portable_round(x, 4)
 
 
 def _round4_sql(expr: str) -> str:
-    return f"floor(({expr}) * 10000 + 0.5) / 10000"
+    return portable_round_sql(expr, 4)
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..rounding import portable_round, portable_round_sql
+
 # ---------------------------------------------------------------------------
 # portable hashing helpers (identical in DuckDB SQL — see *_sql functions)
 # ---------------------------------------------------------------------------
@@ -209,7 +211,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     )
     return (
         joined.filter(F.col("uni") > 0)
-        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .withColumn("jaccard", portable_round(F.col("inter") / F.col("uni"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -534,8 +536,9 @@ scored AS (
          len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
   FROM cands c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
 )
-SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
-FROM scored WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}
+SELECT doc_a, doc_b, {portable_round_sql('CAST(inter AS DOUBLE) / uni', 6)} AS jaccard
+FROM scored
+WHERE uni > 0 AND {portable_round_sql('CAST(inter AS DOUBLE) / uni', 6)} >= {threshold}
 """
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..rounding import portable_round, portable_round_sql
+
 _ICON = {"error": "❌", "warning": "⚠️", "info": "ℹ️", "note": "📝"}
 
 
@@ -274,7 +276,7 @@ def stats_text(diags: DataFrame) -> DataFrame:
     pct = lambda c, seg: F.when(  # noqa: E731
         F.col(c) > 0,
         F.concat(F.lit(seg),
-                 F.format_string("%.1f", F.round(F.col(c) * 100.0 / F.col("total"), 1)),
+                 F.format_string("%.1f", portable_round(F.col(c) * 100.0 / F.col("total"), 1)),
                  F.lit("%\n"))).otherwise("")
     body = F.concat(
         F.lit("\n📈 Detailed Statistics:\n" + _RULER + "\n"
@@ -332,10 +334,10 @@ SELECT chr(10) || '📈 Detailed Statistics:' || chr(10) || '{_RULER}' || chr(10
   || CASE WHEN files > 1
        THEN chr(10) || '🔥 Most issues by file:' || chr(10) || top5 ELSE '' END
   || CASE WHEN total > 0 THEN chr(10) || '📊 Severity distribution:' || chr(10)
-       || CASE WHEN e > 0 THEN '   ❌ Errors: ' || printf('%.1f', round(e * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
-       || CASE WHEN w > 0 THEN '   ⚠️  Warnings: ' || printf('%.1f', round(w * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
-       || CASE WHEN i > 0 THEN '   ℹ️  Information: ' || printf('%.1f', round(i * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
-       || CASE WHEN nt > 0 THEN '   📝 Notes: ' || printf('%.1f', round(nt * 100.0 / total, 1)) || '%' || chr(10) ELSE '' END
+       || CASE WHEN e > 0 THEN '   ❌ Errors: ' || printf('%.1f', {portable_round_sql(f'e * 100.0 / total', 1)}) || '%' || chr(10) ELSE '' END
+       || CASE WHEN w > 0 THEN '   ⚠️  Warnings: ' || printf('%.1f', {portable_round_sql(f'w * 100.0 / total', 1)}) || '%' || chr(10) ELSE '' END
+       || CASE WHEN i > 0 THEN '   ℹ️  Information: ' || printf('%.1f', {portable_round_sql(f'i * 100.0 / total', 1)}) || '%' || chr(10) ELSE '' END
+       || CASE WHEN nt > 0 THEN '   📝 Notes: ' || printf('%.1f', {portable_round_sql(f'nt * 100.0 / total', 1)}) || '%' || chr(10) ELSE '' END
      ELSE '' END
   || '{_RULER}' || chr(10) AS stats
 FROM tot

@@ -22,6 +22,8 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from ..rounding import portable_round, portable_round_sql
 from pyspark.sql.window import Window
 
 
@@ -67,11 +69,11 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Data
     # engine fusing the fold differently) must not flip neighbor order; ties
     # break on neighbor_id in both engines
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("sim", 9)), F.asc("neighbor_id"))
+        F.desc(portable_round(F.col("sim"), 9)), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", portable_round(F.col("sim"), 4).alias("cos_sim"))
     )
 
 
@@ -141,14 +143,14 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", portable_round(F.col("sim"), 4).alias("cos_sim"))
     )
 
 
 # ---------------------------------------------------------------------------
 # DuckDB twin (correctness oracle) for the exact brute-force path. The fold
 # order matches the Spark expressions exactly (left fold, double math), so
-# scores agree bit-for-bit; ranking uses the same round(sim, 9) + vec_id
+# scores agree bit-for-bit; ranking uses the same portable 9-dp round + vec_id
 # tie-break.
 # ---------------------------------------------------------------------------
 
@@ -177,9 +179,9 @@ scored AS (
   FROM unitv u CROSS JOIN q
   WHERE u.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(sim, 4) AS cos_sim
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, {portable_round_sql('sim', 4)} AS cos_sim
 FROM (SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+        PARTITION BY query_id ORDER BY {portable_round_sql('sim', 9)} DESC, neighbor_id) AS rank
       FROM scored) r
 WHERE rank <= {k}
 """
@@ -196,9 +198,9 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
-                F.round(sim, 9).alias("sim9"))
+                portable_round(sim, 9).alias("sim9"))
         .filter(F.col("sim9") >= threshold)
-        .select("vec_a", "vec_b", F.round("sim9", 4).alias("cos_sim"))
+        .select("vec_a", "vec_b", portable_round(F.col("sim9"), 4).alias("cos_sim"))
     )
 
 
@@ -233,9 +235,9 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.4,
     )
     sim = _dot(F.col("ua"), F.col("ub"))
     return (
-        cands.select("vec_a", "vec_b", F.round(sim, 9).alias("sim9"))
+        cands.select("vec_a", "vec_b", portable_round(sim, 9).alias("sim9"))
         .filter(F.col("sim9") >= threshold)
-        .select("vec_a", "vec_b", F.round("sim9", 4).alias("cos_sim"))
+        .select("vec_a", "vec_b", portable_round(F.col("sim9"), 4).alias("cos_sim"))
     )
 
 
@@ -257,7 +259,7 @@ unitv AS (
         FROM vec) t
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(round({dot}, 9), 4) AS cos_sim
+       {portable_round_sql(portable_round_sql(dot, 9), 4)} AS cos_sim
 FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
-WHERE round({dot}, 9) >= {threshold}
+WHERE {portable_round_sql(dot, 9)} >= {threshold}
 """

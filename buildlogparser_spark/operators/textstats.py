@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..rounding import portable_round, portable_round_sql
 from .dedup import TOKENS_SQL, tokens
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
@@ -89,10 +90,10 @@ def quality_score(documents: DataFrame) -> DataFrame:
         "doc_id",
         n_chars.cast("long").alias("n_chars_text"),
         n_toks.cast("long").alias("n_tokens"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality"),
+        portable_round(mean_word_len, 4).alias("mean_word_len"),
+        portable_round(punct_ratio, 4).alias("punct_ratio"),
+        portable_round(stop_ratio, 4).alias("stopword_ratio"),
+        portable_round(quality, 4).alias("quality"),
     )
 
 
@@ -108,7 +109,7 @@ def doc_language_profile(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars_text").alias("total_chars"),
-            F.round(F.avg("quality"), 4).alias("mean_quality"),
+            portable_round(F.avg("quality"), 4).alias("mean_quality"),
         )
     )
 
@@ -188,14 +189,14 @@ WITH base AS (
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars_text,
        CAST(n_toks AS BIGINT) AS n_tokens,
-       round(mean_word_len, 4) AS mean_word_len,
-       round(punct_ratio, 4) AS punct_ratio,
-       round(CASE WHEN n_toks > 0 THEN CAST(stop_hits AS DOUBLE) / n_toks ELSE 0.0 END, 4) AS stopword_ratio,
-       round(CASE WHEN n_toks < 5 THEN 0.0 ELSE
+       {portable_round_sql('mean_word_len', 4)} AS mean_word_len,
+       {portable_round_sql('punct_ratio', 4)} AS punct_ratio,
+       {portable_round_sql('CASE WHEN n_toks > 0 THEN CAST(stop_hits AS DOUBLE) / n_toks ELSE 0.0 END', 4)} AS stopword_ratio,
+       {portable_round_sql('''CASE WHEN n_toks < 5 THEN 0.0 ELSE
              0.4 * least(n_toks / 100.0, 1.0)
            + 0.3 * least((CAST(stop_hits AS DOUBLE) / n_toks) * 5, 1.0)
            + 0.3 * (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
-         END, 4) AS quality
+         END''', 4)} AS quality
 FROM ratios
 """
 
@@ -220,7 +221,7 @@ WITH l AS ({lang_id_sql(table)}), q AS ({quality_score_sql(table)})
 SELECT l.lang_pred,
        count(*) AS n_docs,
        CAST(sum(q.n_chars_text) AS BIGINT) AS total_chars,
-       round(avg(q.quality), 4) AS mean_quality
+       {portable_round_sql('avg(q.quality)', 4)} AS mean_quality
 FROM l JOIN q ON l.doc_id = q.doc_id
 GROUP BY l.lang_pred
 """
