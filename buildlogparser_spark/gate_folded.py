@@ -30,6 +30,7 @@ from buildlogparser_spark.transcripts import (
 from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
 from buildlogparser_spark.operators import corpus_filters as cf
+from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
 from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import multimodal as mm
@@ -126,6 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda spark, sf: cf.decontaminate(_docs(spark, sf)),
         "corpus_sample": lambda spark, sf: cf.corpus_sample(_docs(spark, sf)),
         "repetition_stats": lambda spark, sf: cf.repetition_stats(_docs(spark, sf)),
+        # the capstone composition: every curation stage end-to-end
+        # (graded sibling: curated_corpus carries the composed-e2e gate row)
+        "curation_pipeline": lambda spark, sf: cur.curation_pipeline(
+            _docs(spark, sf), snapshot_key=sf),
         # ---- folded rows-only (sketches / engine-specific formats) --------
         # accuracy bounded vs exact in tests/test_checkpoint_metrics.py /
         # test_trainingdata_ops.py; contract tests in test_render_json.py
@@ -182,4 +187,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": cf.decontaminate_sql(),
         "corpus_sample": cf.corpus_sample_sql(),
         "repetition_stats": cf.repetition_stats_sql(),
+        "curation_pipeline": cur.curation_pipeline_sql(),
     }

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .corpus_filters import corpus_sample, decontaminate, pii_redact, repetition_stats
 from .dedup import dedup_exact, near_dup_components_star, ngram_jaccard_pairs
 from .textstats import lang_id, quality_score
 
@@ -54,6 +55,52 @@ def curated_corpus(documents: DataFrame, lang: str = "en",
     )
 
 
+def curation_pipeline(documents: DataFrame, snapshot_key: str | None = None,
+                      min_quality: float = 0.35, min_tokens: int = 5,
+                      jaccard_threshold: float = 0.5,
+                      min_distinct_ratio: float = 0.3,
+                      max_top_bigram_frac: float = 0.5) -> DataFrame:
+    """The FULL training-data pipeline, composed end-to-end:
+    exact dedup → near-dup survivor selection → benchmark decontamination
+    → repetition gates (Gopher-style) → quality/length gates → per-language
+    stratified sampling → PII redaction. Returns
+    (doc_id, lang, lang_pred, quality, n_tokens, redacted_text) — the rows
+    a tokenizer would consume.
+
+    Unlike :func:`curated_corpus` (the single-language extraction query)
+    this keeps every language and lets the sampling stage set the mixture.
+    Scale shape: the same hash-agg / bucket-join stages as its parts —
+    every gate joins on doc_id after a per-row or hash-agg computation;
+    the one broadcast is the benchmark shingle set (small by nature)."""
+    survivors = dedup_exact(documents).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    docs = documents.join(survivors, "doc_id")
+    key = f"{snapshot_key}:fullcurate" if snapshot_key else None
+    pairs = ngram_jaccard_pairs(docs, threshold=jaccard_threshold,
+                                snapshot_key=key)
+    comp = near_dup_components_star(docs, pairs)
+    keep = comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
+    kept = docs.join(keep, "doc_id")
+    clean = kept.join(
+        decontaminate(kept).filter(~F.col("contaminated")).select("doc_id"),
+        "doc_id")
+    rep_ok = repetition_stats(clean).filter(
+        (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)).select("doc_id")
+    q = quality_score(clean).select("doc_id", "quality", "n_tokens")
+    l = lang_id(clean).select("doc_id", "lang_pred")
+    gated = (
+        clean.join(rep_ok, "doc_id").join(q, "doc_id").join(l, "doc_id")
+        .filter((F.col("quality") >= min_quality)
+                & (F.col("n_tokens") >= min_tokens)))
+    sampled = corpus_sample(gated.select("doc_id", "lang", "source")).select("doc_id")
+    final = gated.join(sampled, "doc_id")
+    return (
+        final.join(pii_redact(final.select("doc_id", "text")), "doc_id")
+        .select("doc_id", "lang", "lang_pred", "quality", "n_tokens",
+                "redacted_text"))
+
+
 def curated_corpus_sql(lang: str = "en", min_quality: float = 0.35,
                        min_tokens: int = 5, jaccard_threshold: float = 0.5,
                        table: str = "documents") -> str:
@@ -79,4 +126,50 @@ SELECT k.doc_id, l.lang_pred, q.quality, q.n_tokens
 FROM keep k JOIN l USING (doc_id) JOIN q USING (doc_id)
 WHERE l.lang_pred = '{lang}' AND q.quality >= {min_quality}
   AND q.n_tokens >= {min_tokens}
+"""
+
+
+def curation_pipeline_sql(min_quality: float = 0.35, min_tokens: int = 5,
+                          jaccard_threshold: float = 0.5,
+                          min_distinct_ratio: float = 0.3,
+                          max_top_bigram_frac: float = 0.5,
+                          table: str = "documents") -> str:
+    from .corpus_filters import (
+        corpus_sample_sql, decontaminate_sql, pii_redact_sql,
+        repetition_stats_sql)
+    from .dedup import (
+        dedup_exact_sql, near_dup_components_sql, ngram_jaccard_pairs_sql)
+    from .textstats import lang_id_sql, quality_score_sql
+
+    pairs = ngram_jaccard_pairs_sql("docs_d", threshold=jaccard_threshold)
+    return f"""
+WITH docs_d AS MATERIALIZED (
+  SELECT d.* FROM {table} d
+  JOIN (SELECT keep_doc_id AS doc_id FROM ({dedup_exact_sql(table)}) e) s
+    USING (doc_id)
+),
+comp AS ({near_dup_components_sql(pairs, "docs_d")}),
+keep AS (SELECT doc_id FROM comp WHERE doc_id = component_id),
+kept AS MATERIALIZED (SELECT d.* FROM docs_d d JOIN keep USING (doc_id)),
+deco AS ({decontaminate_sql("kept")}),
+clean AS MATERIALIZED (
+  SELECT k.* FROM kept k JOIN deco USING (doc_id) WHERE NOT deco.contaminated
+),
+rep AS ({repetition_stats_sql("clean")}),
+q AS ({quality_score_sql("clean")}),
+l AS ({lang_id_sql("clean")}),
+gated AS MATERIALIZED (
+  SELECT c.doc_id, c.lang, c.source, c.text,
+         l.lang_pred, q.quality, q.n_tokens
+  FROM clean c
+  JOIN rep USING (doc_id) JOIN q USING (doc_id) JOIN l USING (doc_id)
+  WHERE rep.distinct_ratio >= {min_distinct_ratio}
+    AND rep.top_bigram_frac <= {max_top_bigram_frac}
+    AND q.quality >= {min_quality} AND q.n_tokens >= {min_tokens}
+),
+samp AS ({corpus_sample_sql("gated")}),
+red AS ({pii_redact_sql("gated")})
+SELECT g.doc_id, g.lang, g.lang_pred, g.quality, g.n_tokens,
+       red.redacted_text
+FROM gated g JOIN samp USING (doc_id) JOIN red USING (doc_id)
 """
