@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..materialize import materialize
 from .corpus_filters import corpus_sample, decontaminate, pii_redact, repetition_stats
 from .dedup import dedup_exact, near_dup_components_star, ngram_jaccard_pairs
 from .textstats import lang_id, quality_score
@@ -34,7 +35,12 @@ def curated_corpus(documents: DataFrame, lang: str = "en",
     """
     survivors = dedup_exact(documents).select(
         F.col("keep_doc_id").alias("doc_id"))
-    docs = documents.join(survivors, "doc_id")
+    # snapshot the deduped set: four downstream stages reference it (pairs,
+    # components, lang, quality) and an un-materialized lineage re-runs the
+    # exact-dedup hash-agg per reference — the Spark analog of the SQL
+    # twin's `docs_d AS MATERIALIZED`
+    docs = materialize(documents.join(survivors, "doc_id"),
+                       key=f"{snapshot_key}:curate:docs" if snapshot_key else None)
     key = f"{snapshot_key}:curate" if snapshot_key else None
     pairs = ngram_jaccard_pairs(docs, threshold=jaccard_threshold,
                                 snapshot_key=key)
@@ -74,22 +80,27 @@ def curation_pipeline(documents: DataFrame, snapshot_key: str | None = None,
     the one broadcast is the benchmark shingle set (small by nature)."""
     survivors = dedup_exact(documents).select(
         F.col("keep_doc_id").alias("doc_id"))
-    docs = documents.join(survivors, "doc_id")
-    key = f"{snapshot_key}:fullcurate" if snapshot_key else None
+    # stage snapshots mirror the SQL twin's MATERIALIZED CTEs: without them
+    # the composed lineage re-derives exact dedup and decontamination once
+    # per downstream reference (explain showed 210 re-scans of the corpus)
+    docs = materialize(
+        documents.join(survivors, "doc_id"),
+        key=f"{snapshot_key}:fullcurate:docs" if snapshot_key else None)
     pairs = ngram_jaccard_pairs(docs, threshold=jaccard_threshold,
-                                snapshot_key=key)
+                                snapshot_key=f"{snapshot_key}:fullcurate"
+                                if snapshot_key else None)
     comp = near_dup_components_star(docs, pairs)
     keep = comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
-    kept = docs.join(keep, "doc_id")
-    clean = kept.join(
+    kept = materialize(docs.join(keep, "doc_id"))
+    clean = materialize(kept.join(
         decontaminate(kept).filter(~F.col("contaminated")).select("doc_id"),
-        "doc_id")
+        "doc_id"))
     rep_ok = repetition_stats(clean).filter(
         (F.col("distinct_ratio") >= min_distinct_ratio)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)).select("doc_id")
     q = quality_score(clean).select("doc_id", "quality", "n_tokens")
     l = lang_id(clean).select("doc_id", "lang_pred")
-    gated = (
+    gated = materialize(
         clean.join(rep_ok, "doc_id").join(q, "doc_id").join(l, "doc_id")
         .filter((F.col("quality") >= min_quality)
                 & (F.col("n_tokens") >= min_tokens)))
