@@ -650,9 +650,15 @@ def assemble_compile_blocks_chunked(transcripts: DataFrame,
 # ---------------------------------------------------------------------------
 
 # all-whitespace-or-empty line (one anchored match — cheaper than the
-# previous length(regexp_replace(text, '^\\s+|\\s+$', '')) == 0 trim form,
-# which allocated a trimmed string per line; predicates are equivalent)
-_BLANK_LINE_RE = r"^\s*$"
+# previous length(regexp_replace(text, '^\s+|\s+$', '')) == 0 trim form,
+# which allocated a trimmed string per line). The ABSOLUTE anchors are
+# load-bearing: Java's '$' matches BEFORE a trailing U+2028/U+2029/U+0085
+# line terminator, so '^\s*$' calls a whitespace+U+2028 line blank while
+# the trim form, the DuckDB twin, and the Python reference oracle all do
+# not (measured: '^\s*$' flips on exactly those inputs); '\A..\z' has no
+# terminator exception and is exactly the trim-form predicate. DuckDB's
+# RE2 '$' is already end-of-text-only, so the SQL twins use '^\s*$'.
+_BLANK_LINE_RE = r"\A\s*\z"
 
 
 def swiftbuild_compile_blocks(transcripts: DataFrame) -> DataFrame:
@@ -731,7 +737,7 @@ def swiftbuild_compile_blocks_sql(transcripts_cte: str) -> str:
              "OR ((contains(text, 'error:') OR contains(text, 'warning:')) "
              f"AND regexp_matches(text, {ce}))")
     cont = (f"regexp_matches(text, {ctx}) OR regexp_matches(text, {ptr}) "
-            f"OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0")
+            f"OR regexp_matches(text, '^\\s*$')")
     inner = _blocks_sql(transcripts_cte, start, close, cont)
     return f"""
 SELECT conv_id, start_turn_idx,
@@ -790,7 +796,7 @@ def module_failed_blocks_sql(transcripts_cte: str) -> str:
              f"AND regexp_matches(text, {mf})")
     close = ("(contains(text, ':') AND (contains(text, ': error:') "
              "OR contains(text, ': warning:'))) "
-             "OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0")
+             "OR regexp_matches(text, '^\\s*$')")
     cont = "starts_with(text, ' ') AND contains(text, 'use -v to see invocation')"
     inner = _blocks_sql(transcripts_cte, start, close, cont)
     return f"""
@@ -835,7 +841,7 @@ def xcodebuild_warning_blocks(transcripts: DataFrame) -> DataFrame:
 def xcodebuild_warning_blocks_sql(transcripts_cte: str) -> str:
     xw = "'" + XCODEBUILD_WARNING_RE.replace("'", "''") + "'"
     start = f"regexp_matches(text, {xw})"
-    close = ("length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 "
+    close = ("regexp_matches(text, '^\\s*$') "
              "OR starts_with(text, '** BUILD FAILED **')")
     cont = "starts_with(text, '{ platform:') OR starts_with(text, '}')"
     inner = _blocks_sql(transcripts_cte, start, close, cont)
