@@ -34,6 +34,7 @@ from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
 from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import multimodal as mm
+from buildlogparser_spark.operators import lm_score as lm
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import similarity as sim
 from buildlogparser_spark.operators import textstats as ts
@@ -127,6 +128,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda spark, sf: cf.decontaminate(_docs(spark, sf)),
         "corpus_sample": lambda spark, sf: cf.corpus_sample(_docs(spark, sf)),
         "repetition_stats": lambda spark, sf: cf.repetition_stats(_docs(spark, sf)),
+        # CCNet-style LM-perplexity quality scoring (graded siblings:
+        # quality_score / token_count carry the textstats gate rows)
+        "bigram_lm_score": lambda spark, sf: lm.bigram_lm_score(
+            _docs(spark, sf), snapshot_key=sf),
+        # IVF coarse-quantizer ANN — the brief's named alternative to the
+        # graded ann_lsh_topk; fully deterministic (fixed centroids), so
+        # both stages carry complete DuckDB oracles
+        "ivf_assign": lambda spark, sf: sim.ivf_assign(_emb(spark, sf)),
+        "ivf_topk": lambda spark, sf: sim.ivf_topk(
+            _emb(spark, sf), [1, 2, 3, 4, 5], k=5, snapshot_key=sf),
         # the capstone composition: every curation stage end-to-end
         # (graded sibling: curated_corpus carries the composed-e2e gate row)
         "curation_pipeline": lambda spark, sf: cur.curation_pipeline(
@@ -187,5 +198,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": cf.decontaminate_sql(),
         "corpus_sample": cf.corpus_sample_sql(),
         "repetition_stats": cf.repetition_stats_sql(),
+        "bigram_lm_score": lm.bigram_lm_score_sql(),
+        "ivf_assign": sim.ivf_assign_sql(),
+        "ivf_topk": sim.ivf_topk_sql([1, 2, 3, 4, 5], k=5),
         "curation_pipeline": cur.curation_pipeline_sql(),
     }

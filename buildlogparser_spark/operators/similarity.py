@@ -241,6 +241,183 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.4,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path the brief names
+# beside LSH. Vectors are assigned to their nearest coarse centroid once
+# (one corpus pass, per-row expression, shuffle-free); a query probes only
+# the ``nprobe`` centroid lists nearest to it, so search cost is
+# corpus_size * nprobe / n_centroids instead of corpus_size. The quantizer
+# here is deterministic (md5-derived pseudo-random unit centroids, identical
+# literals in both engines); production would train it with sampled k-means
+# offline and broadcast the trained table — the query plans are identical.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-norm centroids: components in [-1, 1) from
+    md5(centroid, i), L2-normalized driver-side. Plain double math — the
+    SAME literals are embedded in the Spark plan and the DuckDB twin."""
+    cents = []
+    for c in range(n_centroids):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"ivf-{c}-{i}".encode()).hexdigest()
+            row.append((int(h[:8], 16) / float(1 << 31)) - 1.0)
+        n = sum(x * x for x in row) ** 0.5
+        cents.append([x / n for x in row])
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
+               dim: int = 64) -> DataFrame:
+    """(vec_id, cluster, cos_sim): nearest coarse centroid per vector.
+
+    One per-row JVM expression — n_centroids sequential-fold dot products
+    and an array_max argmax over (sim, -cid) structs (struct ordering:
+    highest sim wins, ties go to the LOWEST cid — matching the row_number
+    tie-break in the SQL twin; a chained when()-fold would duplicate its
+    subtree per level and grow the plan 2^n_centroids). No shuffle, no
+    UDF; the assignment column IS the IVF partition key downstream."""
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    sims = F.array(*[
+        F.struct(
+            portable_round(_dot(F.col("unit"), F.array(*[F.lit(x) for x in cent])), 9).alias("sim"),
+            F.lit(-cid).alias("negcid"))
+        for cid, cent in enumerate(_ivf_centroids(n_centroids, dim))])
+    best = F.array_max(sims)
+    return base.select(
+        "vec_id",
+        (-best["negcid"]).cast("int").alias("cluster"),
+        portable_round(best["sim"], 4).alias("cos_sim"),
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, dim: int = 64,
+             snapshot_key: str | None = None) -> DataFrame:
+    """IVF ANN top-k: same output schema as cosine_topk, but each query is
+    scored only against the ``nprobe`` centroid lists nearest to it.
+    Approximate — recall vs cosine_topk asserted in pytest. Deterministic
+    end-to-end (fixed centroids), so it carries a full DuckDB oracle.
+
+    Plan: assignment scan (shuffle-free) → tiny exploded probe table
+    (len(query_ids) × nprobe rows, broadcast) → equi-join on cluster →
+    exact re-rank on candidates. The corpus is never all-pairs joined."""
+    assigned = ivf_assign(embeddings, n_centroids, dim).select("vec_id", "cluster")
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    corpus = base.join(assigned, "vec_id")
+    if snapshot_key is not None:
+        from ..materialize import materialize
+
+        corpus = materialize(corpus, key=f"ivf:{snapshot_key}:{n_centroids}:{dim}")
+
+    cents = _ivf_centroids(n_centroids, dim)
+    probe_sims = F.array(*[
+        F.struct(portable_round(_dot(F.col("unit"), F.array(*[F.lit(x) for x in c])), 9).alias("sim"),
+                 F.lit(cid).alias("cid"))
+        for cid, c in enumerate(cents)])
+    # top-nprobe centroids per query: reverse-sort the (sim, cid) structs —
+    # struct order sorts sim asc then cid asc, so the reverse is sim desc,
+    # cid desc; to match the SQL row_number (sim desc, cid ASC) flip the cid
+    # sign inside the sort key
+    keyed = F.transform(
+        probe_sims, lambda s: F.struct(s["sim"].alias("sim"),
+                                       (-s["cid"]).alias("negcid"),
+                                       s["cid"].alias("cid")))
+    probes = F.slice(F.reverse(F.array_sort(keyed)), 1, nprobe)
+    queries = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"),
+                F.explode(F.transform(probes, lambda s: s["cid"])).alias("cluster"))
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "unit", "q_unit")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", _dot(F.col("q_unit"), F.col("unit")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(portable_round(F.col("sim"), 9)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                portable_round(F.col("sim"), 4).alias("cos_sim"))
+    )
+
+
+def _centroids_values_sql(n_centroids: int, dim: int) -> str:
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cent)}])"
+        for cid, cent in enumerate(_ivf_centroids(n_centroids, dim)))
+    return f"(VALUES {rows}) c(cid, cvec)"
+
+
+_UNITV_SQL = """
+vec AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v FROM {table}
+),
+unitv AS (
+  SELECT vec_id,
+         CASE WHEN n > 0 THEN list_transform(v, x -> x / n) ELSE v END AS unit
+  FROM (SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+        FROM vec) t
+)"""
+
+
+def _ivf_assign_core_sql(n_centroids: int, dim: int) -> str:
+    """Shared CTE body: every (vec, centroid) sim plus the per-vec rank —
+    rank 1 is the assignment, rank ≤ nprobe is a query's probe list."""
+    dot = _DOT_SQL.format(a="u.unit", b="c.cvec")
+    return f"""
+csim AS MATERIALIZED (
+  SELECT u.vec_id, c.cid, u.unit, {portable_round_sql(dot, 9)} AS sim,
+         row_number() OVER (PARTITION BY u.vec_id
+                            ORDER BY {portable_round_sql(dot, 9)} DESC, c.cid) AS rk
+  FROM unitv u CROSS JOIN {_centroids_values_sql(n_centroids, dim)}
+)"""
+
+
+def ivf_assign_sql(n_centroids: int = 16, dim: int = 64,
+                   table: str = "embeddings") -> str:
+    return f"""
+WITH {_UNITV_SQL.format(table=table)},
+{_ivf_assign_core_sql(n_centroids, dim)}
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+       {portable_round_sql('sim', 4)} AS cos_sim
+FROM csim WHERE rk = 1
+"""
+
+
+def ivf_topk_sql(query_ids: list[int], k: int = 5, n_centroids: int = 16,
+                 nprobe: int = 4, dim: int = 64,
+                 table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    dot = _DOT_SQL.format(a="q.q_unit", b="a.unit")
+    return f"""
+WITH {_UNITV_SQL.format(table=table)},
+{_ivf_assign_core_sql(n_centroids, dim)},
+assigned AS (SELECT vec_id, cid AS cluster, unit FROM csim WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, unit AS q_unit, cid AS cluster
+  FROM csim WHERE vec_id IN ({ids}) AND rk <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, {dot} AS sim
+  FROM assigned a JOIN probes q USING (cluster)
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       {portable_round_sql('sim', 4)} AS cos_sim
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY {portable_round_sql('sim', 9)} DESC, neighbor_id) AS rank
+      FROM scored) r
+WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup_sql(threshold: float = 0.4,
                            table: str = "embeddings",
                            where_sql: str = "") -> str:

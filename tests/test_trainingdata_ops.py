@@ -330,3 +330,102 @@ def test_conversation_near_dups_semantics(spark):
         assert p.doc_a < p.doc_b
         assert p.jaccard >= 0.2
         assert p.doc_a in convs and p.doc_b in convs
+
+
+def test_ivf_topk_full_probe_equals_exact(spark, emb):
+    """Probing every centroid list makes IVF exhaustive: ivf_topk with
+    nprobe == n_centroids must equal cosine_topk row-for-row (same
+    re-rank expression, candidate set = whole corpus)."""
+    qids = [1, 2, 3, 4, 5]
+    exact = sorted(map(tuple, sim.cosine_topk(emb, qids, 5).collect()))
+    full = sorted(map(tuple, sim.ivf_topk(
+        emb, qids, 5, n_centroids=16, nprobe=16).collect()))
+    assert full == exact
+
+
+def test_ivf_topk_recall_and_probe_monotonicity(spark, emb):
+    """At the graded config (nprobe 4/16 — scanning 1/4 of the corpus) the
+    pseudo-random coarse quantizer must keep a useful fraction of the exact
+    neighbors on near-uniform vectors, and recall must not DROP as nprobe
+    grows (candidate sets are nested)."""
+    qids = [1, 2, 3, 4, 5]
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, qids, 5).collect()}
+    recalls = []
+    for nprobe in (4, 8, 16):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in sim.ivf_topk(emb, qids, 5, nprobe=nprobe).collect()}
+        assert all(q != n for q, n in approx)
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls[0] >= 0.3, f"IVF recall {recalls[0]} too low at nprobe=4"
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[-1] == 1.0
+
+
+def test_ivf_assign_covers_corpus_once(spark, emb):
+    """Every vector lands in exactly one cluster; cluster ids are in range;
+    no cluster holds a pathological share (the quantizer must actually
+    partition, or the probe-list scan degenerates to brute force)."""
+    rows = sim.ivf_assign(emb, n_centroids=16).collect()
+    assert len(rows) == emb.count()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.cluster < 16
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    assert max(sizes.values()) < len(rows) / 2
+
+
+def test_bigram_lm_score_hand_fixture(spark):
+    """Pin the LM semantics on a hand-computed corpus: add-one smoothing,
+    bigram-left context counts, corpus-wide vocabulary, short docs scoring
+    (0, 0.0). Expected values derived with the same portable rounding the
+    engines use."""
+    import math
+
+    from buildlogparser_spark.operators.lm_score import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x")], "doc_id long, text string")
+    # corpus model: bigrams {ab:2, ba:1}; contexts {a:2, b:1}; V=3
+    def r(x, p):
+        return math.floor(x * 10**p + 0.5) / 10**p
+    logps = [r(math.log2((2 + 1) / (2 + 3)), 9),   # a->b
+             r(math.log2((1 + 1) / (1 + 3)), 9),   # b->a
+             r(math.log2((2 + 1) / (2 + 3)), 9)]   # a->b
+    want_h = r(-sum(logps) / 3, 4)
+    got = {row.doc_id: (row.n_bigrams, row.h_bits)
+           for row in bigram_lm_score(docs).collect()}
+    assert got == {1: (3, want_h), 2: (0, 0.0)}
+
+
+def test_bigram_lm_score_unseen_beats_likeliest(spark, docs):
+    """Cross-operator sanity at smoke scale: a doc of the corpus's single
+    most probable bigram (max smoothed P, computed test-side) must score
+    strictly below a doc of never-seen tokens. Note the inverse does NOT
+    hold for raw frequency: with a small vocabulary, add-one smoothing
+    makes unseen continuations of LOW-count contexts cheaper than seen
+    continuations of high-count contexts — the model property is about
+    probability, not support."""
+    import re
+    from collections import Counter
+
+    from buildlogparser_spark.operators.lm_score import bigram_lm_score
+
+    toks = [[w for w in re.split(r"[^a-z0-9]+", t.text.lower()) if w]
+            for t in docs.select("text").collect()]
+    vocab_n = len({w for ts in toks for w in ts})
+    pair: Counter = Counter()
+    ctx: Counter = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            pair[(a, b)] += 1
+            ctx[a] += 1
+    _, hi_a, hi_b = max(
+        ((cnt + 1) / (ctx[a] + vocab_n), a, b) for (a, b), cnt in pair.items())
+
+    extra = docs.sparkSession.createDataFrame(
+        [(990001, f"{hi_a} {hi_b}"), (990002, "qzj1x qzj2x")],
+        "doc_id long, text string")
+    base = docs.select("doc_id", "text").unionByName(extra)
+    scored = {r.doc_id: r.h_bits for r in bigram_lm_score(base).collect()}
+    assert scored[990002] > scored[990001], (scored[990002], scored[990001])
