@@ -128,6 +128,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda spark, sf: cf.decontaminate(_docs(spark, sf)),
         "corpus_sample": lambda spark, sf: cf.corpus_sample(_docs(spark, sf)),
         "repetition_stats": lambda spark, sf: cf.repetition_stats(_docs(spark, sf)),
+        # cross-document duplicated n-gram detection (Lee et al. 2022 at
+        # n-gram granularity; graded siblings: lsh_candidates /
+        # near_dup_components carry the dedup gate rows)
+        "boilerplate_ngrams": lambda spark, sf: cf.boilerplate_ngrams(
+            _docs(spark, sf)),
+        "boilerplate_stats": lambda spark, sf: cf.boilerplate_stats(
+            _docs(spark, sf)),
+        # SemDeDup — embedding-space dedup within IVF clusters (graded
+        # sibling: cosine_topk carries the embedding gate row)
+        "semantic_dedup": lambda spark, sf: sim.semantic_dedup(
+            _emb(spark, sf), threshold=0.4, snapshot_key=sf),
         # CCNet-style LM-perplexity quality scoring (graded siblings:
         # quality_score / token_count carry the textstats gate rows)
         "bigram_lm_score": lambda spark, sf: lm.bigram_lm_score(
@@ -198,6 +209,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": cf.decontaminate_sql(),
         "corpus_sample": cf.corpus_sample_sql(),
         "repetition_stats": cf.repetition_stats_sql(),
+        "boilerplate_ngrams": cf.boilerplate_ngrams_sql(),
+        "boilerplate_stats": cf.boilerplate_stats_sql(),
+        "semantic_dedup": sim.semantic_dedup_sql(threshold=0.4),
         "bigram_lm_score": lm.bigram_lm_score_sql(),
         "ivf_assign": sim.ivf_assign_sql(),
         "ivf_topk": sim.ivf_topk_sql([1, 2, 3, 4, 5], k=5),

@@ -239,6 +239,96 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
                     .otherwise(0.0)).alias("top_bigram_frac")))
 
 
+def boilerplate_ngrams(documents: DataFrame, k: int = 3,
+                       min_docs: int = 3) -> DataFrame:
+    """(ngram, n_docs): word k-grams occurring in ≥ ``min_docs`` DISTINCT
+    documents — corpus-level boilerplate (exact-substring dedup at n-gram
+    granularity, after Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", public arXiv 2107.06499 §4).
+
+    Scale shape: :func:`~.dedup.shingles` is distinct-per-doc, so one
+    explode + one hash-agg (map-side partial count) IS the distinct-doc
+    count — no count(distinct), no second shuffle. At 100 TB the flagged
+    set is tiny relative to the corpus (it's the tail above ``min_docs``)
+    and feeds :func:`boilerplate_stats` as the build side of a shuffle
+    join keyed on the n-gram."""
+    sh = shingles(F.col("text"), k=k)
+    return (
+        documents.select(F.explode(sh).alias("ngram"))
+        .groupBy("ngram").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_ngrams_sql(table: str = "documents", k: int = 3,
+                           min_docs: int = 3) -> str:
+    sh = shingles_sql("text", k=k)
+    return f"""
+SELECT ngram, count(*) AS n_docs
+FROM (SELECT unnest({sh}) AS ngram FROM {table})
+GROUP BY ngram HAVING count(*) >= {min_docs}
+"""
+
+
+def boilerplate_stats(documents: DataFrame, k: int = 3,
+                      min_docs: int = 3) -> DataFrame:
+    """(doc_id, n_ngrams, n_boiler, boiler_ratio): per-document share of
+    its distinct k-grams that are corpus-level boilerplate (flagged by
+    :func:`boilerplate_ngrams`). Documents dominated by boilerplate are
+    the ones a pretraining pipeline drops or trims.
+
+    Scale shape: the corpus is exploded ONCE into (doc_id, ngram) and the
+    flagged set is re-derived from a hash-agg over the same exploded
+    relation, then a left-semi join keyed on the n-gram marks boilerplate
+    occurrences and a final per-doc hash-agg recovers the counts. Every
+    join key is the n-gram or doc_id — no window over the corpus, no
+    collect. Short docs (< k tokens) have 0 ngrams and ratio 0.0."""
+    sh = shingles(F.col("text"), k=k)
+    exploded = documents.select("doc_id", F.explode(sh).alias("ngram"))
+    flagged = (
+        exploded.groupBy("ngram").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs).select("ngram"))
+    per_doc = (
+        exploded.join(flagged, "ngram", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("n_boiler")))
+    base = documents.select("doc_id", F.size(sh).cast("long").alias("n_ngrams"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_ngrams",
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"))
+        .withColumn(
+            "boiler_ratio",
+            _round4(F.when(F.col("n_ngrams") > 0,
+                           F.col("n_boiler") / F.col("n_ngrams"))
+                    .otherwise(0.0)))
+    )
+
+
+def boilerplate_stats_sql(table: str = "documents", k: int = 3,
+                          min_docs: int = 3) -> str:
+    sh = shingles_sql("text", k=k)
+    shq = shingles_sql("b.text", k=k)
+    return f"""
+WITH exploded AS MATERIALIZED (
+  SELECT doc_id, unnest({sh}) AS ngram FROM {table}
+), flagged AS (
+  SELECT ngram FROM exploded GROUP BY ngram HAVING count(*) >= {min_docs}
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_boiler
+  FROM exploded SEMI JOIN flagged USING (ngram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len({shq}) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       {_round4_sql(f"CASE WHEN len({shq}) > 0 "
+                    f"THEN CAST(coalesce(p.n_boiler, 0) AS DOUBLE) / len({shq}) "
+                    "ELSE 0.0 END")} AS boiler_ratio
+FROM {table} b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def repetition_stats_sql(table: str = "documents") -> str:
     toks = TOKENS_SQL.format(c="text")
     return f"""

@@ -347,6 +347,72 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.4,
+                   n_centroids: int = 16, dim: int = 64,
+                   snapshot_key: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", public arXiv 2303.09540):
+    embedding-space near-duplicates are detected WITHIN each coarse IVF
+    cluster only, never corpus-wide — the clustering bounds the pairwise
+    work to Σ |cluster|², exactly the paper's k-means trick.
+
+    Output (vec_id, cluster, kept): ``kept`` is false iff a LOWER-id
+    vector in the same cluster has cosine ≥ threshold (the deterministic
+    keep-the-first policy; the paper keeps one representative per
+    ε-neighborhood — lowest id is our canonical pick, matching
+    :func:`~.dedup.dedup_exact`).
+
+    Scale shape: one shuffle-free assignment pass (:func:`ivf_assign`),
+    one self-join shuffled on the cluster id, one left-semi mark-join back
+    on vec_id. A real deployment trains the quantizer offline with enough
+    centroids that clusters stay small (the paper uses 50k clusters for
+    web scale); the fixed md5 centroids here make both engines bit-equal."""
+    assigned = ivf_assign(embeddings, n_centroids, dim).select("vec_id", "cluster")
+    corpus = (with_unit_vectors(embeddings).select("vec_id", "unit")
+              .join(assigned, "vec_id"))
+    if snapshot_key is not None:
+        from ..materialize import materialize
+
+        corpus = materialize(
+            corpus, key=f"semdedup:{snapshot_key}:{n_centroids}:{dim}")
+    l, r = corpus.alias("l"), corpus.alias("r")
+    sim = _dot(F.col("l.unit"), F.col("r.unit"))
+    dropped = (
+        l.join(r, [F.col("l.cluster") == F.col("r.cluster"),
+                   F.col("l.vec_id") < F.col("r.vec_id")])
+        .filter(portable_round(sim, 9) >= threshold)
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        corpus.select("vec_id", "cluster")
+        .join(dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"))
+    )
+
+
+def semantic_dedup_sql(threshold: float = 0.4, n_centroids: int = 16,
+                       dim: int = 64, table: str = "embeddings") -> str:
+    dot = _DOT_SQL.format(a="a.unit", b="b.unit")
+    return f"""
+WITH {_UNITV_SQL.format(table=table)},
+{_ivf_assign_core_sql(n_centroids, dim)},
+assigned AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster, unit FROM csim WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {portable_round_sql(dot, 9)} >= {threshold}
+)
+SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+       (d.vec_id IS NULL) AS kept
+FROM assigned s LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 def _centroids_values_sql(n_centroids: int, dim: int) -> str:
     rows = ", ".join(
         f"({cid}, [{', '.join(repr(x) for x in cent)}])"

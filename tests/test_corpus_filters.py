@@ -134,3 +134,41 @@ def test_repetition_stats_fractions(spark):
     assert (out[2].distinct_ratio, out[2].top_token_frac, out[2].top_bigram_frac) \
         == (0.0, 0.0, 0.0)
     assert out[3].distinct_ratio == 1.0 and out[3].top_token_frac == 0.25
+
+
+def test_boilerplate_ngrams_and_stats(spark):
+    rows = [
+        ("the quick brown fox jumps", "en"),      # shares 'the quick brown'
+        ("the quick brown dog sleeps", "en"),     # and 'quick brown' k=3 no
+        ("the quick brown cat sits", "en"),       # 3 docs share the trigram
+        ("totally different words here", "en"),   # clean
+        ("a b", "en"),                            # < k tokens → 0 ngrams
+    ]
+    docs = _docs(spark, rows)
+    flagged = {r.ngram: r.n_docs
+               for r in cf.boilerplate_ngrams(docs, k=3, min_docs=3).collect()}
+    assert flagged == {"the quick brown": 3}
+    out = {r.doc_id: r
+           for r in cf.boilerplate_stats(docs, k=3, min_docs=3).collect()}
+    # docs 0-2: 3 distinct trigrams each, exactly 1 flagged
+    for d in (0, 1, 2):
+        assert out[d].n_ngrams == 3 and out[d].n_boiler == 1
+        assert out[d].boiler_ratio == round(1 / 3, 4)
+    assert out[3].n_ngrams == 2 and out[3].n_boiler == 0
+    assert out[3].boiler_ratio == 0.0
+    # short doc: no ngrams, ratio pinned to 0.0 (not null, not NaN)
+    assert out[4].n_ngrams == 0 and out[4].n_boiler == 0
+    assert out[4].boiler_ratio == 0.0
+
+
+def test_boilerplate_repeated_ngram_counts_once_per_doc(spark):
+    # the SAME trigram twice inside one doc is one occurrence for the
+    # distinct-doc count (shingles are distinct-per-doc): 2 docs < min_docs=3
+    docs = _docs(spark, [
+        ("x y z x y z", "en"),   # 'x y z' appears twice in doc 0
+        ("x y z other words", "en"),
+    ])
+    assert cf.boilerplate_ngrams(docs, k=3, min_docs=3).count() == 0
+    flagged = {r.ngram: r.n_docs
+               for r in cf.boilerplate_ngrams(docs, k=3, min_docs=2).collect()}
+    assert flagged["x y z"] == 2

@@ -429,3 +429,39 @@ def test_bigram_lm_score_unseen_beats_likeliest(spark, docs):
     base = docs.select("doc_id", "text").unionByName(extra)
     scored = {r.doc_id: r.h_bits for r in bigram_lm_score(base).collect()}
     assert scored[990002] > scored[990001], (scored[990002], scored[990001])
+
+
+def test_semantic_dedup_fixture(spark):
+    """SemDeDup keep-the-first policy on hand-built vectors: identical
+    vectors share a cluster and every id but the lowest is dropped; a
+    dissimilar vector in the same cluster survives; cross-cluster
+    near-identical vectors are NOT compared (the paper's locality
+    trade-off, asserted so the contract stays honest)."""
+    import math
+    from pyspark.sql import Row
+
+    dim = 4
+    cents = sim._ivf_centroids(2, dim)
+    far = [-x for x in cents[0]]  # assigns to whichever centroid is nearer
+    rows = [
+        Row(vec_id=10, embedding=cents[0], label=0),   # cluster 0 canonical
+        Row(vec_id=11, embedding=cents[0], label=0),   # exact dup → dropped
+        Row(vec_id=12, embedding=[v * 2.0 for v in cents[0]], label=0),
+        # scaled copy: same unit vector → dropped
+        Row(vec_id=13, embedding=far, label=0),        # dissimilar → kept
+        Row(vec_id=20, embedding=cents[1], label=1),   # cluster 1 canonical
+        Row(vec_id=21, embedding=cents[1], label=1),   # dropped
+    ]
+    out = {r.vec_id: r for r in sim.semantic_dedup(
+        spark.createDataFrame(rows), threshold=0.9,
+        n_centroids=2, dim=dim).collect()}
+    assert len(out) == 6
+    assert out[10].kept and not out[11].kept and not out[12].kept
+    assert out[13].kept
+    assert out[20].kept and not out[21].kept
+    # identical vectors always co-cluster; their cluster hosts the canonical
+    assert out[10].cluster == out[11].cluster == out[12].cluster
+    assert out[20].cluster == out[21].cluster
+    # cosine(10, 13) is far below threshold → locality never dropped it
+    dot = sum(a * b for a, b in zip(cents[0], far))
+    assert dot / (math.hypot(*cents[0]) * math.hypot(*far)) < 0.9
