@@ -135,6 +135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)),
         "boilerplate_stats": lambda spark, sf: cf.boilerplate_stats(
             _docs(spark, sf)),
+        # training-batch assembly + mixing accounting (graded sibling:
+        # curated_corpus carries the curation gate row)
+        "sequence_pack_plan": lambda spark, sf: cf.sequence_pack_plan(
+            _docs(spark, sf)),
+        "source_mix_weights": lambda spark, sf: cf.source_mix_weights(
+            _docs(spark, sf)),
         # SemDeDup — embedding-space dedup within IVF clusters (graded
         # sibling: cosine_topk carries the embedding gate row)
         "semantic_dedup": lambda spark, sf: sim.semantic_dedup(
@@ -211,6 +217,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": cf.repetition_stats_sql(),
         "boilerplate_ngrams": cf.boilerplate_ngrams_sql(),
         "boilerplate_stats": cf.boilerplate_stats_sql(),
+        "sequence_pack_plan": cf.sequence_pack_plan_sql(),
+        "source_mix_weights": cf.source_mix_weights_sql(),
         "semantic_dedup": sim.semantic_dedup_sql(threshold=0.4),
         "bigram_lm_score": lm.bigram_lm_score_sql(),
         "ivf_assign": sim.ivf_assign_sql(),

@@ -329,6 +329,112 @@ FROM {table} b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def sequence_pack_plan(documents: DataFrame, seq_len: int = 128,
+                       n_shards: int = 8) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_tok, first_seq, last_seq): the
+    concat-and-chunk packing plan pretraining batch assembly uses — docs
+    are concatenated in a deterministic order and cut into fixed
+    ``seq_len`` token sequences (documents may straddle a boundary, as in
+    GPT-style packing; public description e.g. Brown et al. 2020 §2.1 and
+    the T5 "pack" preprocessor).
+
+    Global concatenation would serialize the corpus, so docs are first
+    hash-sharded (md5(doc_id) — deterministic, growth-independent
+    balance), and the running token offset is a window WITHIN each shard
+    ordered by doc_id. At 100 TB the window partitions by shard (pick
+    n_shards ≈ cluster parallelism × small constant); no corpus-global
+    ordering ever exists. Zero-token docs occupy no space: first_seq =
+    last_seq = the sequence their offset falls in."""
+    n = F.size(tokens(F.col("text"))).cast("long")
+    shard = (_md5_i64(F.concat(F.lit("pack"), F.col("doc_id").cast("string")))
+             % n_shards).cast("int")
+    base = documents.select("doc_id", shard.alias("shard"), n.alias("n_tokens"))
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    # integer division (DIV / //), not floor(x / y): float floor loses
+    # exactness past 2^53 tokens per shard, integer division never does
+    return (
+        base.withColumn("start_tok", start)
+        .select(
+            "doc_id", "shard", "n_tokens", "start_tok",
+            F.expr(f"start_tok DIV {seq_len}").cast("long").alias("first_seq"),
+            (F.expr(f"(start_tok + greatest(n_tokens - 1, 0)) DIV {seq_len}")
+             ).cast("long").alias("last_seq"))
+    )
+
+
+def sequence_pack_plan_sql(table: str = "documents", seq_len: int = 128,
+                           n_shards: int = 8) -> str:
+    toks = TOKENS_SQL.format(c="text")
+    shard = _md5_i64_sql("'pack' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({shard} % {n_shards} AS INTEGER) AS shard,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM {table}
+), offs AS (
+  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_tok
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, start_tok,
+       CAST(start_tok // {seq_len} AS BIGINT) AS first_seq,
+       CAST((start_tok + greatest(n_tokens - 1, 0)) // {seq_len} AS BIGINT) AS last_seq
+FROM offs
+"""
+
+
+def source_mix_weights(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, weight): per-source token
+    accounting plus the uniform-target sampling weight (DoReMi-lite static
+    reweighting: weight = target_share / actual_share, target = equal
+    token budget per source). A mixing job multiplies each source's keep
+    rate by ``weight`` to flatten the corpus toward the target mix.
+
+    One corpus scan → per-source hash-agg (map-side partial sums); the
+    share/weight normalization windows over the AGGREGATED frame only
+    (|sources| rows), so the single-partition window is a no-op at scale."""
+    from pyspark.sql.window import Window
+
+    per_src = (
+        documents.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens")))
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_src = F.count("*").over(w)
+    share = F.col("n_tokens") / total
+    return (
+        per_src
+        .withColumn("token_share", _round4(share))
+        .withColumn("weight",
+                    _round4(F.when(F.col("n_tokens") > 0,
+                                   (F.lit(1.0) / n_src) / share)
+                            .otherwise(0.0)))
+        .select("source", "n_docs", "n_tokens", "token_share", "weight"))
+
+
+def source_mix_weights_sql(table: str = "documents") -> str:
+    toks = TOKENS_SQL.format(c="text")
+    share = "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()"
+    return f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       {_round4_sql(share)} AS token_share,
+       {_round4_sql(f"CASE WHEN n_tokens > 0 THEN (1.0 / count(*) OVER ()) / ({share}) ELSE 0.0 END")} AS weight
+FROM per_src
+"""
+
+
 def repetition_stats_sql(table: str = "documents") -> str:
     toks = TOKENS_SQL.format(c="text")
     return f"""

@@ -172,3 +172,52 @@ def test_boilerplate_repeated_ngram_counts_once_per_doc(spark):
     flagged = {r.ngram: r.n_docs
                for r in cf.boilerplate_ngrams(docs, k=3, min_docs=2).collect()}
     assert flagged["x y z"] == 2
+
+
+def test_sequence_pack_plan_offsets(spark):
+    # one shard (n_shards=1) makes the packing order just doc_id order:
+    # offsets are exact running token counts, sequences are 4-token chunks
+    rows = [
+        ("a b c", "en"),        # 3 toks: [0, 3) → seq 0
+        ("d e f g", "en"),      # 4 toks: [3, 7) → seqs 0-1 (straddles)
+        ("", "en"),             # 0 toks at offset 7 → first=last=seq 1
+        ("h", "en"),            # 1 tok: [7, 8) → seq 1
+    ]
+    out = {r.doc_id: r for r in cf.sequence_pack_plan(
+        _docs(spark, rows), seq_len=4, n_shards=1).collect()}
+    assert (out[0].start_tok, out[0].first_seq, out[0].last_seq) == (0, 0, 0)
+    assert (out[1].start_tok, out[1].first_seq, out[1].last_seq) == (3, 0, 1)
+    assert (out[2].start_tok, out[2].first_seq, out[2].last_seq) == (7, 1, 1)
+    assert (out[3].start_tok, out[3].first_seq, out[3].last_seq) == (7, 1, 1)
+    assert all(r.shard == 0 for r in out.values())
+
+
+def test_sequence_pack_plan_shard_independence(spark):
+    # sharding partitions the docs; within each shard offsets are dense
+    # (start_tok of the k-th doc = sum of tokens before it in ITS shard)
+    rows = [("w%d x y" % i, "en") for i in range(40)]  # 3 toks each
+    plan = cf.sequence_pack_plan(_docs(spark, rows), seq_len=8, n_shards=4)
+    by_shard = {}
+    for r in plan.collect():
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}  # 40 docs spread over all shards
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.start_tok == expect, (shard, r)
+            expect += r.n_tokens
+
+
+def test_source_mix_weights_uniform_target(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c d e f", lang="en", source="big", n_chars=11),
+         Row(doc_id=1, text="g h", lang="en", source="small", n_chars=3)])
+    out = {r.source: r for r in cf.source_mix_weights(docs).collect()}
+    assert out["big"].n_tokens == 6 and out["small"].n_tokens == 2
+    assert out["big"].token_share == 0.75 and out["small"].token_share == 0.25
+    # uniform target = 1/2 each: big is over-represented → weight < 1
+    assert out["big"].weight == round((0.5 / 0.75), 4)
+    assert out["small"].weight == 2.0
