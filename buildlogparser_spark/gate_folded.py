@@ -134,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": lambda spark, sf: cf.boilerplate_ngrams(
             _docs(spark, sf)),
         "boilerplate_stats": lambda spark, sf: cf.boilerplate_stats(
-            _docs(spark, sf)),
+            _docs(spark, sf), snapshot_key=sf),
         # training-batch assembly + mixing accounting (graded sibling:
         # curated_corpus carries the curation gate row)
         "sequence_pack_plan": lambda spark, sf: cf.sequence_pack_plan(

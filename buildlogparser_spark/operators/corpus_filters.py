@@ -271,20 +271,28 @@ GROUP BY ngram HAVING count(*) >= {min_docs}
 
 
 def boilerplate_stats(documents: DataFrame, k: int = 3,
-                      min_docs: int = 3) -> DataFrame:
+                      min_docs: int = 3,
+                      snapshot_key: str | None = None) -> DataFrame:
     """(doc_id, n_ngrams, n_boiler, boiler_ratio): per-document share of
     its distinct k-grams that are corpus-level boilerplate (flagged by
     :func:`boilerplate_ngrams`). Documents dominated by boilerplate are
     the ones a pretraining pipeline drops or trims.
 
-    Scale shape: the corpus is exploded ONCE into (doc_id, ngram) and the
-    flagged set is re-derived from a hash-agg over the same exploded
-    relation, then a left-semi join keyed on the n-gram marks boilerplate
-    occurrences and a final per-doc hash-agg recovers the counts. Every
-    join key is the n-gram or doc_id — no window over the corpus, no
-    collect. Short docs (< k tokens) have 0 ngrams and ratio 0.0."""
+    Scale shape: the corpus is exploded ONCE into (doc_id, ngram) —
+    ``snapshot_key`` materializes that relation so the flagged-set
+    hash-agg and the per-doc semi-join scan a real table instead of
+    re-deriving the explode (without it the plan scans the corpus 3×;
+    the DuckDB twin's MATERIALIZED CTE is the same fix). Then a
+    left-semi join keyed on the n-gram marks boilerplate occurrences and
+    a final per-doc hash-agg recovers the counts. Every join key is the
+    n-gram or doc_id — no window over the corpus, no collect. Short docs
+    (< k tokens) have 0 ngrams and ratio 0.0."""
     sh = shingles(F.col("text"), k=k)
     exploded = documents.select("doc_id", F.explode(sh).alias("ngram"))
+    if snapshot_key is not None:
+        from ..materialize import materialize
+
+        exploded = materialize(exploded, key=f"boilerng:{snapshot_key}:{k}")
     flagged = (
         exploded.groupBy("ngram").agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs).select("ngram"))
