@@ -42,7 +42,8 @@ from buildlogparser_spark.operators.assemble import (  # noqa: E402
     swiftbuild_compile_blocks, xctest_blocks)
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
-from buildlogparser_spark.operators import dedup, similarity, textstats  # noqa: E402
+from buildlogparser_spark.operators import (  # noqa: E402
+    curate, dedup, similarity, textstats)
 from buildlogparser_spark.rules.table import default_stack  # noqa: E402
 
 
@@ -169,11 +170,26 @@ def main() -> None:
         timed("q15_swiftbuild_blocks",
               lambda: swiftbuild_compile_blocks(aux).count())
         timed("q16_xctest_blocks", lambda: xctest_blocks(transcripts).count())
+        # continuation-session addition (also outside the comparable sum):
+        # the full composed corpus-curation pipeline — dedup, near-dup
+        # components, decontaminate, quality/repetition gates, stratified
+        # sample, PII redact — end to end over the documents table.
+        # Its absolute number is FIXED-COST dominated at sandbox scale:
+        # stage profile (sf0.1, this host) puts ~8 s in the star-components
+        # rounds (each round = 2 joins + 2 snapshot writes + a fixed-point
+        # check ≈ 5 small Spark jobs at ~0.3-0.5 s scheduler cost each,
+        # over a KB-sized edge list) and most of the rest in per-stage
+        # snapshot writes — per-job constants that vanish at cluster scale,
+        # not data-proportional work (the data stages alone are <2 s)
+        timed("q17_curation_pipeline",
+              lambda: curate.curation_pipeline(
+                  documents, snapshot_key=sf_dir).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
         r02_set = {q: s for q, s in queries.items()
-                   if q not in ("q15_swiftbuild_blocks", "q16_xctest_blocks")}
+                   if q not in ("q15_swiftbuild_blocks", "q16_xctest_blocks",
+                                "q17_curation_pipeline")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps
         # (not min-of-9 — more reps monotonically lowers the min on a noisy

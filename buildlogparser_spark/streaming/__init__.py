@@ -3,6 +3,7 @@ from .pipeline import (  # noqa: F401
     stream_classify,
     windowed_severity_counts,
     stream_route,
+    stream_dedup_exact,
 )
 from .stateful import (  # noqa: F401
     stream_parse_stateful, stream_parse_stateful_unordered)

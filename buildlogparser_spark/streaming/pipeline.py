@@ -87,3 +87,30 @@ def stream_route(transcripts: DataFrame, root: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(documents: DataFrame,
+                       watermark: tuple[str, str] | None = None) -> DataFrame:
+    """First-seen exact dedup on a document stream — the continuous-
+    ingestion twin of :func:`~..operators.dedup.dedup_exact_unique`: a
+    document survives iff its md5(text) has not been seen before.
+
+    ``watermark=(ts_col, delay)`` uses ``dropDuplicatesWithinWatermark``:
+    the hash-keyed state store evicts entries older than the watermark —
+    MANDATORY on an unbounded stream (global dropDuplicates state grows
+    with every distinct document forever; at 10^12 docs that is the whole
+    corpus in state). The trade-off is windowed semantics: a duplicate
+    arriving later than ``delay`` after its original re-surfaces — the
+    standard streaming-dedup contract; exact global dedup stays a batch
+    job over the landed corpus. ``watermark=None`` keeps global state for
+    bounded backfills only.
+
+    State shuffles on text_hash (Spark partitions the state store by the
+    dedup key), so survivors are decided per-key with no cross-partition
+    coordination — the same partitioning argument as the batch hash-agg."""
+    hashed = documents.withColumn("text_hash", F.md5(F.col("text")))
+    if watermark is not None:
+        ts_col, delay = watermark
+        return (hashed.withWatermark(ts_col, delay)
+                .dropDuplicatesWithinWatermark(["text_hash"]))
+    return hashed.dropDuplicates(["text_hash"])

@@ -86,3 +86,33 @@ def test_stream_route_fanout_multibatch(spark, tr_dir, tmp_path):
                       root, ckpt, n_salt=4, ts_granularity="month")
     assert q2.awaitTermination(600), "incremental re-run did not finish in 600s"
     assert spark.read.parquet(f"{root}/diagnostics").count() == batch.count()
+
+
+def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
+    """Cross-batch dedup state: a duplicate text arriving in a LATER
+    micro-batch must be dropped; every distinct text keeps exactly its
+    first-seen row. Files are fed one per trigger so the duplicate pairs
+    genuinely span micro-batch boundaries."""
+    from buildlogparser_spark.streaming import stream_dedup_exact
+
+    base = "2026-01-01 00:00:"
+    f1 = [(0, "alpha beta", base + "00"), (1, "gamma delta", base + "01")]
+    f2 = [(2, "alpha beta", base + "05"),   # dup of doc 0, later batch
+          (3, "epsilon", base + "06")]
+    src = tmp_path / "docs"
+    for i, rows in enumerate([f1, f2]):
+        (spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+         .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+         .coalesce(1).write.parquet(str(src / f"f{i}")))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "f*")))
+    out = stream_dedup_exact(stream, watermark=("ts", "1 hour"))
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("dedup_stream").collect()}
+    assert 3 in got and 1 in got          # uniques survive
+    assert len(got & {0, 2}) == 1          # exactly one of the dup pair
+    assert len(got) == 3
