@@ -303,13 +303,8 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     Plan: assignment scan (shuffle-free) → tiny exploded probe table
     (len(query_ids) × nprobe rows, broadcast) → equi-join on cluster →
     exact re-rank on candidates. The corpus is never all-pairs joined."""
-    assigned = ivf_assign(embeddings, n_centroids, dim).select("vec_id", "cluster")
     base = with_unit_vectors(embeddings).select("vec_id", "unit")
-    corpus = base.join(assigned, "vec_id")
-    if snapshot_key is not None:
-        from ..materialize import materialize
-
-        corpus = materialize(corpus, key=f"ivf:{snapshot_key}:{n_centroids}:{dim}")
+    corpus = _assigned_corpus(embeddings, n_centroids, dim, snapshot_key)
 
     cents = _ivf_centroids(n_centroids, dim)
     probe_sims = F.array(*[
@@ -347,6 +342,22 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def _assigned_corpus(embeddings: DataFrame, n_centroids: int, dim: int,
+                     snapshot_key: str | None) -> DataFrame:
+    """(vec_id, unit, cluster): unit vectors joined with their IVF
+    assignment, snapshot-materialized under the shared ``ivf:`` key —
+    ivf_topk and semantic_dedup consume the IDENTICAL relation, so they
+    share one snapshot instead of deriving (and writing) it twice."""
+    assigned = ivf_assign(embeddings, n_centroids, dim).select("vec_id", "cluster")
+    corpus = (with_unit_vectors(embeddings).select("vec_id", "unit")
+              .join(assigned, "vec_id"))
+    if snapshot_key is not None:
+        from ..materialize import materialize
+
+        corpus = materialize(corpus, key=f"ivf:{snapshot_key}:{n_centroids}:{dim}")
+    return corpus
+
+
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.4,
                    n_centroids: int = 16, dim: int = 64,
                    snapshot_key: str | None = None) -> DataFrame:
@@ -367,14 +378,7 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.4,
     on vec_id. A real deployment trains the quantizer offline with enough
     centroids that clusters stay small (the paper uses 50k clusters for
     web scale); the fixed md5 centroids here make both engines bit-equal."""
-    assigned = ivf_assign(embeddings, n_centroids, dim).select("vec_id", "cluster")
-    corpus = (with_unit_vectors(embeddings).select("vec_id", "unit")
-              .join(assigned, "vec_id"))
-    if snapshot_key is not None:
-        from ..materialize import materialize
-
-        corpus = materialize(
-            corpus, key=f"semdedup:{snapshot_key}:{n_centroids}:{dim}")
+    corpus = _assigned_corpus(embeddings, n_centroids, dim, snapshot_key)
     l, r = corpus.alias("l"), corpus.alias("r")
     sim = _dot(F.col("l.unit"), F.col("r.unit"))
     dropped = (

@@ -114,5 +114,9 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.table("dedup_stream").collect()}
     assert 3 in got and 1 in got          # uniques survive
-    assert len(got & {0, 2}) == 1          # exactly one of the dup pair
+    # FIRST-seen survives: f0 is processed before f1 (availableNow orders
+    # file batches by path/mtime; f0 was written first), so the survivor
+    # of the dup pair must be doc 0, not the later arrival — a last-seen
+    # regression would keep doc 2 and still pass a weaker either-of check
+    assert 0 in got and 2 not in got
     assert len(got) == 3
