@@ -78,3 +78,42 @@ def test_decontaminate_fuzz_parity(fuzz_docs):
         cf.decontaminate(df, k=3),
         con.execute(cf.decontaminate_sql(k=3)).fetchdf(),
         "decontaminate_fuzz")
+
+
+def test_boilerplate_fuzz_parity(fuzz_docs):
+    df, con = fuzz_docs
+    # min_docs=2: the snippet pool repeats, so flagged trigrams exist
+    assert_frames_match(
+        cf.boilerplate_ngrams(df, min_docs=2),
+        con.execute(cf.boilerplate_ngrams_sql(min_docs=2)).fetchdf(),
+        "boilerplate_ngrams_fuzz")
+    assert_frames_match(
+        cf.boilerplate_stats(df, min_docs=2),
+        con.execute(cf.boilerplate_stats_sql(min_docs=2)).fetchdf(),
+        "boilerplate_stats_fuzz")
+
+
+def test_sequence_pack_fuzz_parity(fuzz_docs):
+    df, con = fuzz_docs
+    assert_frames_match(
+        cf.sequence_pack_plan(df, seq_len=16, n_shards=4),
+        con.execute(cf.sequence_pack_plan_sql(seq_len=16, n_shards=4)).fetchdf(),
+        "sequence_pack_fuzz")
+
+
+def test_source_mix_fuzz_parity(spark, fuzz_docs):
+    # re-shard the fuzz docs over 5 sources (the shared fixture pins one
+    # source, which would make the weights vacuously 1.0)
+    _, con = fuzz_docs
+    rows = _fuzz_rows(300, seed=20260818)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source=f"s{i % 5}", n_chars=len(t))
+         for i, t in rows])
+    con.register("documents_mix", pd.DataFrame(
+        {"doc_id": [i for i, _ in rows], "text": [t for _, t in rows],
+         "lang": "en", "source": [f"s{i % 5}" for i, _ in rows],
+         "n_chars": [len(t) for _, t in rows]}))
+    assert_frames_match(
+        cf.source_mix_weights(df),
+        con.execute(cf.source_mix_weights_sql(table="documents_mix")).fetchdf(),
+        "source_mix_fuzz")
