@@ -59,17 +59,32 @@ TOKENS_SQL = (
 
 def shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as space-joined strings (distinct). Empty for docs
-    with fewer than k tokens — the n >= k gate is load-bearing: Spark's
-    sequence(1, stop) DESCENDS for stop < 1 (sequence(1, 0) = [1, 0]), and
-    slice(toks, 0, k) then aborts the job; DuckDB's range(1, 1) is simply
-    empty. The gate makes short documents match the SQL twin instead of
-    crashing the stage."""
+    with fewer than k tokens — the n >= k gate is load-bearing: a negative
+    slice length aborts the job in Spark while DuckDB's range(1, 1) is
+    simply empty, so the gate makes short documents match the SQL twin
+    instead of crashing the stage.
+
+    Construction is deliberately QUADRATIC-PROOF: the tokens array is
+    let-bound once via a single-element ``transform`` (its lambda variable
+    is a bound reference, not an expression subtree), and the shingles are
+    assembled by ``zip_with`` over k shifted slices. The obvious
+    formulation — ``transform(sequence(1, n-k+1), i -> slice(toks, i, k))``
+    — re-evaluates the inline ``toks`` subtree (a full regex split of the
+    document) PER ELEMENT in interpreted mode: measured O(n²), 414 s for
+    ONE 50k-token document; this version is O(k·n), sub-second."""
     toks = tokens(col)
-    n = F.size(toks)
-    sh = F.transform(F.sequence(F.lit(1), n - (k - 1)),
-                     lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(
-        F.when(n >= k, sh).otherwise(F.array().cast("array<string>")))
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        length = F.greatest(n - (k - 1), F.lit(0))
+        z = F.slice(t, 1, length)
+        for i in range(1, k):
+            z = F.zip_with(z, F.slice(t, i + 1, length),
+                           lambda a, b: F.concat_ws(" ", a, b))
+        return F.when(n >= k, F.array_distinct(z)).otherwise(
+            F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def shingles_sql(c: str, k: int = 3) -> str:

@@ -221,3 +221,25 @@ def test_source_mix_weights_uniform_target(spark):
     # uniform target = 1/2 each: big is over-represented → weight < 1
     assert out["big"].weight == round((0.5 / 0.75), 4)
     assert out["small"].weight == 2.0
+
+
+def test_boilerplate_and_packing_survive_hot_document(spark):
+    """One pathological 200k-token document must neither crash nor skew
+    the explode-based operators: its n-gram explode is O(n) rows spread
+    by the (ngram) shuffle key, and the packing window is per-shard, so
+    the hot doc costs one long row, not a hot partition."""
+    hot = " ".join(f"w{i % 997}" for i in range(200_000))
+    rows = [(hot, "en")] + [("normal doc %d here" % i, "en") for i in range(20)]
+    docs = _docs(spark, rows)
+    stats = {r.doc_id: r for r in cf.boilerplate_stats(
+        docs, k=3, min_docs=2).collect()}
+    assert stats[0].n_ngrams > 0          # distinct trigrams of the hot doc
+    assert len(stats) == 21
+    plan = {r.doc_id: r for r in cf.sequence_pack_plan(
+        docs, seq_len=2048, n_shards=4).collect()}
+    assert plan[0].n_tokens == 200_000
+    # the hot doc spans ~98 sequences; every other doc spans exactly one
+    assert plan[0].last_seq - plan[0].first_seq == (200_000 - 1) // 2048 or \
+        plan[0].last_seq >= plan[0].first_seq + 96
+    for d in range(1, 21):
+        assert plan[d].last_seq - plan[d].first_seq == 0
