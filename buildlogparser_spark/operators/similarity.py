@@ -40,11 +40,25 @@ def _norm(a: Column) -> Column:
 
 
 def with_unit_vectors(embeddings: DataFrame) -> DataFrame:
-    """Add a float64 L2-normalized copy of the embedding (cosine → dot)."""
+    """Add a float64 L2-normalized copy of the embedding (cosine → dot).
+
+    The norm is let-bound via a single-element ``transform`` so the
+    normalizing division references a bound O(1) lambda variable — the
+    naive ``transform(vec, v -> v / norm(vec))`` re-evaluates the whole
+    norm fold per element (O(dim²); harmless at dim 64, wrong at
+    production embedding widths). Same defense as
+    :func:`~.dedup.shingles`."""
     vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    n = _norm(vec)
-    unit = F.when(n > 0, F.transform(vec, lambda v: v / n)).otherwise(vec)
-    return embeddings.withColumn("unit", unit)
+
+    def build(v: Column) -> Column:
+        n = _norm(v)
+        return F.element_at(
+            F.transform(F.array(n),
+                        lambda nn: F.when(nn > 0, F.transform(v, lambda x: x / nn))
+                        .otherwise(v)), 1)
+
+    return embeddings.withColumn(
+        "unit", F.element_at(F.transform(F.array(vec), build), 1))
 
 
 def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
