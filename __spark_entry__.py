@@ -17,10 +17,15 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is consolidated to 40 entries (37 oracled + 3 rows-only):
-  every twin/sibling query moved to ``buildlogparser_spark/gate_folded.py``
-  where ``tests/test_gate_folded.py`` runs the SAME Spark-vs-DuckDB
-  value compare the driver does — nothing lost but the scoreboard row.
+* ``queries()`` is 46 entries (43 oracled + 3 rows-only): the r04
+  consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
+  ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
+  ivf_topk, curation_pipeline) back into the graded sweep now that the
+  r04 sweep ran clean with 5×-cheaper oracles (VERDICT r04 #1). Every
+  remaining twin/sibling query stays in
+  ``buildlogparser_spark/gate_folded.py`` where ``tests/test_gate_folded.py``
+  runs the SAME Spark-vs-DuckDB value compare the driver does — nothing
+  lost but the scoreboard row.
 * The training-data queries (dedup/similarity/textstats/media) run EARLY,
   right after the classify snapshot exists — in r03 they went 13-green →
   0-recorded purely by sweep position.
@@ -45,9 +50,11 @@ from buildlogparser_spark.transcripts import (
 from buildlogparser_spark.operators.classify import classified_sql, classify
 from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
+from buildlogparser_spark.operators import corpus_filters as cf
 from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
 from buildlogparser_spark.operators import lines as ln
+from buildlogparser_spark.operators import lm_score as lm
 from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import route as rt
@@ -112,7 +119,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """40 entries: 37 DuckDB-oracled, then 3 rows-only (their Python workers
+    """46 entries: 43 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -155,6 +162,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": lambda spark, sf: ts.token_count(_docs(spark, sf)),
         "quality_score": lambda spark, sf: ts.quality_score(_docs(spark, sf)),
         "media_stats": lambda spark, sf: mm.media_stats(mm.synthetic_media(spark)),
+        # --- round-5 promoted flagship LLM-pipeline ops (oracled; were
+        #     gate-folded in r04 — VERDICT r04 #1: the r04 sweep ran clean
+        #     with 5×-cheaper oracles, so the scoreboard has headroom to
+        #     hash-check these six directly) --------------------------------
+        # PII scrub over deterministically PII-injected docs (the synthetic
+        # table has no PII; a bare run would be vacuous parity)
+        "pii_redact": lambda spark, sf: cf.pii_redact(
+            cf.inject_pii(_docs(spark, sf))),
+        # Gopher-style repetition stats (Rae et al. 2021): one scan,
+        # tokens+bigrams tagged/exploded together, two hash-aggs
+        "repetition_stats": lambda spark, sf: cf.repetition_stats(_docs(spark, sf)),
+        # CCNet-style bigram-LM perplexity quality scoring
+        "bigram_lm_score": lambda spark, sf: lm.bigram_lm_score(
+            _docs(spark, sf), snapshot_key=sf),
+        # SemDeDup (Abbas et al. 2023): embedding near-dup within trained
+        # IVF clusters only — never corpus-wide pairwise
+        "semantic_dedup": lambda spark, sf: sim.semantic_dedup(
+            _emb(spark, sf), threshold=0.4, n_centroids=16, snapshot_key=sf),
+        # IVF coarse-quantizer ANN (probe nprobe nearest centroid lists)
+        "ivf_topk": lambda spark, sf: sim.ivf_topk(
+            _emb(spark, sf), _ANN_QUERY_IDS, k=5, n_centroids=16,
+            snapshot_key=sf),
+        # the capstone composition: every curation stage end-to-end
+        # (dedup → near-dup → decontaminate → repetition → quality →
+        # sample → redact)
+        "curation_pipeline": lambda spark, sf: cur.curation_pipeline(
+            _docs(spark, sf), snapshot_key=sf),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -265,6 +299,13 @@ def oracle_sql() -> dict[str, str]:
         "token_count": ts.token_count_sql(),
         "quality_score": ts.quality_score_sql(),
         "media_stats": mm.media_stats_sql(),
+        "pii_redact": cf.pii_redact_sql(
+            table="(" + cf.inject_pii_sql() + ") injected"),
+        "repetition_stats": cf.repetition_stats_sql(),
+        "bigram_lm_score": lm.bigram_lm_score_sql(),
+        "semantic_dedup": sim.semantic_dedup_sql(threshold=0.4, n_centroids=16),
+        "ivf_topk": sim.ivf_topk_sql(_ANN_QUERY_IDS, k=5, n_centroids=16),
+        "curation_pipeline": cur.curation_pipeline_sql(),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,

@@ -238,8 +238,9 @@ def test_boilerplate_and_packing_survive_hot_document(spark):
     plan = {r.doc_id: r for r in cf.sequence_pack_plan(
         docs, seq_len=2048, n_shards=4).collect()}
     assert plan[0].n_tokens == 200_000
-    # the hot doc spans ~98 sequences; every other doc spans exactly one
-    assert plan[0].last_seq - plan[0].first_seq == (200_000 - 1) // 2048 or \
-        plan[0].last_seq >= plan[0].first_seq + 96
+    # the hot doc spans exactly ceil(200k/2048) = 98 sequences (ADVICE r04:
+    # a previous `or`-fallback made this check unfailable); every other doc
+    # spans exactly one
+    assert plan[0].last_seq - plan[0].first_seq == (200_000 - 1) // 2048
     for d in range(1, 21):
         assert plan[d].last_seq - plan[d].first_seq == 0

@@ -91,32 +91,43 @@ def test_stream_route_fanout_multibatch(spark, tr_dir, tmp_path):
 def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     """Cross-batch dedup state: a duplicate text arriving in a LATER
     micro-batch must be dropped; every distinct text keeps exactly its
-    first-seen row. Files are fed one per trigger so the duplicate pairs
-    genuinely span micro-batch boundaries."""
+    first-seen row. Batch order is pinned STRUCTURALLY (ADVICE r04): the
+    second file is written only after a first availableNow run against the
+    same checkpoint has fully completed, so the ordering cannot silently
+    degrade into a file-listing-order assumption."""
     from buildlogparser_spark.streaming import stream_dedup_exact
 
     base = "2026-01-01 00:00:"
-    f1 = [(0, "alpha beta", base + "00"), (1, "gamma delta", base + "01")]
-    f2 = [(2, "alpha beta", base + "05"),   # dup of doc 0, later batch
+    f0 = [(0, "alpha beta", base + "00"), (1, "gamma delta", base + "01")]
+    f1 = [(2, "alpha beta", base + "05"),   # dup of doc 0, later batch
           (3, "epsilon", base + "06")]
     src = tmp_path / "docs"
-    for i, rows in enumerate([f1, f2]):
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_batch(i, rows):
         (spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
          .coalesce(1).write.parquet(str(src / f"f{i}")))
-    stream = (spark.readStream
-              .schema("doc_id long, text string, ts timestamp")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(str(src / "f*")))
-    out = stream_dedup_exact(stream, watermark=("ts", "1 hour"))
-    q = (out.writeStream.format("memory").queryName("dedup_stream")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    got = {r.doc_id for r in spark.table("dedup_stream").collect()}
+
+    def run_cycle():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "f*")))
+        out = stream_dedup_exact(stream, watermark=("ts", "1 hour"))
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120), "stream cycle did not finish"
+
+    write_batch(0, f0)
+    run_cycle()                  # f0 fully processed and committed first …
+    write_batch(1, f1)
+    run_cycle()                  # … then f1, resuming dedup state from ckpt
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert 3 in got and 1 in got          # uniques survive
-    # FIRST-seen survives: f0 is processed before f1 (availableNow orders
-    # file batches by path/mtime; f0 was written first), so the survivor
-    # of the dup pair must be doc 0, not the later arrival — a last-seen
-    # regression would keep doc 2 and still pass a weaker either-of check
+    # FIRST-seen survives: the dup pair's survivor must be doc 0, not the
+    # later arrival — a last-seen regression would keep doc 2 and still
+    # pass a weaker either-of check
     assert 0 in got and 2 not in got
     assert len(got) == 3
