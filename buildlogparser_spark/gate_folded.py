@@ -138,7 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_weights": lambda spark, sf: cf.source_mix_weights(
             _docs(spark, sf)),
         # IVF assignment stage of the graded ivf_topk / semantic_dedup rows
-        "ivf_assign": lambda spark, sf: sim.ivf_assign(_emb(spark, sf)),
+        # (same trained quantizer + snapshot key, so all three share one
+        # k-means training and one assignment snapshot per session)
+        "ivf_assign": lambda spark, sf: sim.ivf_assign(
+            _emb(spark, sf), n_centroids=16, snapshot_key=sf),
         # ---- folded rows-only (sketches / engine-specific formats) --------
         # accuracy bounded vs exact in tests/test_checkpoint_metrics.py /
         # test_trainingdata_ops.py; contract tests in test_render_json.py
