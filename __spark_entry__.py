@@ -269,8 +269,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact consumeLine semantics via applyInPandas — genuinely
         # non-SQL-expressible (arbitrary rule-stack state machine): no oracle
         # entry, driver records the rows-only check; pytest proves it equal
-        # to the oracle parser and to compile_blocks on single-rule stacks.
-        "parse_stateful": lambda spark, sf: asm.parse_stateful_flat(
+        # to the oracle parser, to the unchunked parse_stateful, and to
+        # compile_blocks on single-rule stacks. Round 5: the graded path is
+        # the CHUNKED variant (speculative per-chunk runs + boundary repair,
+        # assemble.parse_stateful_chunked) — a hot conversation parallelizes
+        # instead of serializing into one Python task.
+        "parse_stateful": lambda spark, sf: asm.parse_stateful_chunked_flat(
             load_transcripts(spark, sf), default_stack),
     }
 

@@ -39,7 +39,7 @@ from buildlogparser_spark.operators.classify import classify  # noqa: E402
 from buildlogparser_spark.operators import aggregate as agg  # noqa: E402
 from buildlogparser_spark.operators.assemble import (  # noqa: E402
     assemble_compile_blocks, assemble_compile_blocks_chunked, parse_stateful,
-    swiftbuild_compile_blocks, xctest_blocks)
+    parse_stateful_chunked, swiftbuild_compile_blocks, xctest_blocks)
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
@@ -154,6 +154,8 @@ def main() -> None:
               lambda: assemble_compile_blocks_chunked(transcripts).count())
         timed("q8_parse_stateful",
               lambda: parse_stateful(transcripts, default_stack).count())
+        timed("q8b_parse_stateful_chunked",
+              lambda: parse_stateful_chunked(transcripts, default_stack).count())
         # month buckets + small salt at sandbox sf: keeps dir count sane for
         # tiny inputs; production keeps day granularity + 64 salt buckets
         timed("q9_route_writes", lambda: route_writes(

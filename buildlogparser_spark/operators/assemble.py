@@ -59,7 +59,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 from pyspark.sql.window import Window
 
@@ -140,6 +141,251 @@ def parse_stateful_flat(
     (n_related, related_joined) form value-hashes identically (same pattern
     as :func:`compile_blocks_flat`)."""
     return parse_stateful(transcripts, rules_factory).select(
+        "conv_id", "start_turn_idx",
+        "file", "line", "column", "severity", "message",
+        F.size("related_messages").cast("long").alias("n_related"),
+        F.concat_ws("\n", "related_messages").alias("related_joined"),
+        "source", "category", "raw", "build_target",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunked general state machine — parse_stateful without the one-task-per-
+# conversation skew (VERDICT r04 #3 / SURVEY.md §7 hard-part 5 applied to
+# the ARBITRARY-stack path, not just CompileErrorRule).
+#
+# Exactness argument: the oracle's only cross-line state is ``current`` (the
+# one open Diagnostic — BuildLogParser.swift:303-384 keeps a single
+# ``currentDiagnostic``). So two machine runs that both hold ``current is
+# None`` after the same line are bit-identical from that line on. Pass 1
+# runs every (conv, chunk) IN PARALLEL from the speculative empty state,
+# emitting its diagnostics as ordinary distributed rows plus ONE slim
+# summary row per chunk (a repair_cap-bounded line prefix, the per-line
+# state-was-None flags for that prefix, and the exit state). Pass 2 walks a
+# conversation's chunk SUMMARIES in order carrying the TRUE state — a chunk
+# entered with state None adopts the speculative result wholesale (zero
+# re-parsing); a chunk entered with an open diagnostic re-parses prefix
+# lines only until the true run reaches None on a line where the
+# speculative run was also None — and emits per-chunk keep/drop DECISIONS
+# plus the few repaired diagnostics. The speculative diagnostics never
+# funnel through the sequential merge: they flow straight from the parallel
+# pass through a broadcast join against the tiny decisions table (v1 of
+# this operator routed them through the merge task as JSON and the hot
+# conversation's output serialized there — measured 1.1× instead of ~5×).
+# Build-log blocks are short, so convergence is typically the first
+# terminator line; a conversation that holds one block open past repair_cap
+# lines inside a chunk falls back to the sequential exact path for that
+# conversation only — never to wrong answers.
+# ---------------------------------------------------------------------------
+
+_DIAG_FIELDS = [f for f in STATEFUL_SCHEMA.fields if f.name != "conv_id"]
+
+# pass-1 union schema: kind "d" = speculative diagnostic, "s" = chunk summary
+_CHUNK_OUT_SCHEMA = StructType(
+    [StructField("kind", StringType()),
+     StructField("conv_id", StringType()),
+     StructField("chunk_id", LongType())]
+    + _DIAG_FIELDS
+    + [StructField("p_lines", ArrayType(StringType())),
+       StructField("p_turns", ArrayType(LongType())),
+       StructField("p_none", ArrayType(BooleanType())),
+       StructField("exit_state", StringType()),
+       StructField("n_lines", LongType())])
+
+# merge output: kind "k" = keep-decision, "d" = repaired diagnostic,
+# "f" = whole-conversation fallback marker
+_DECISION_SCHEMA = StructType(
+    [StructField("kind", StringType()),
+     StructField("conv_id", StringType()),
+     StructField("chunk_id", LongType()),
+     StructField("keep_after_turn", LongType())]
+    + _DIAG_FIELDS)
+
+_KEEP_ALL = -(1 << 62)
+
+
+def _diag_to_json(turn: int | None, diag) -> str:
+    import json
+
+    d = dict(diag.__dict__)
+    d["_turn"] = turn
+    return json.dumps(d)
+
+
+def _diag_from_json(s: str):
+    import json
+
+    from buildlogparser_spark.rules.table import Diagnostic
+
+    d = json.loads(s)
+    turn = d.pop("_turn")
+    return turn, Diagnostic(**d)
+
+
+def _diag_row(conv: str, turn: int | None, diag) -> dict:
+    return {
+        "conv_id": conv, "start_turn_idx": turn,
+        "file": diag.file, "line": diag.line, "column": diag.column,
+        "severity": diag.severity, "message": diag.message,
+        "related_messages": diag.related_messages, "source": diag.source,
+        "category": diag.category, "raw": diag.raw,
+        "build_target": diag.build_target,
+    }
+
+
+def parse_stateful_chunked(
+    transcripts: DataFrame, rules_factory: Callable[[], list[Rule]],
+    chunk_size: int = 65536, repair_cap: int = 4096,
+) -> DataFrame:
+    """Exact consumeLine semantics for an arbitrary rule stack, with the
+    heavy per-line regex work parallelized ACROSS chunks of a conversation
+    (speculative-run + boundary-repair; see module comment above). Output
+    and semantics identical to :func:`parse_stateful` — differential-tested
+    in tests/test_assemble_chunked_stateful.py. The sequential per-
+    conversation merge sees only repair_cap-bounded chunk summaries, never
+    the diagnostics or the full text, so a hot conversation costs
+    O(chunks × convergence_depth) Python instead of O(lines)."""
+
+    from ..materialize import materialize
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(transcripts.sparkSession)
+    diag_cols = [f.name for f in _DIAG_FIELDS]
+    # missing dict keys would surface as float NaN in pandas, which Arrow
+    # rejects for array<> columns — pad every row to the full schema
+    _chunk_none = {f.name: None for f in _CHUNK_OUT_SCHEMA.fields}
+    _dec_none = {f.name: None for f in _DECISION_SCHEMA.fields}
+
+    def run_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from buildlogparser_spark.oracle import ParserOracle
+
+        pdf = pdf.sort_values("turn_idx")
+        lines = pdf["text"].tolist()
+        turns = [int(t) for t in pdf["turn_idx"]]
+        conv = pdf["conv_id"].iloc[0]
+        chunk = int(pdf["chunk_id"].iloc[0])
+        oracle = ParserOracle(rules_factory())
+        p_none = []
+        for t, line in zip(turns, lines):
+            oracle.consume_line(line, t)
+            if len(p_none) < repair_cap:
+                p_none.append(oracle.current is None)
+        out = [dict(_chunk_none, **_diag_row(conv, t, d), kind="d",
+                    chunk_id=chunk)
+               for t, d in zip(oracle.out_line_nos, oracle.out)]
+        out.append({
+            **_chunk_none,
+            "kind": "s", "conv_id": conv, "chunk_id": chunk,
+            "p_lines": lines[:repair_cap], "p_turns": turns[:repair_cap],
+            "p_none": p_none,
+            "exit_state": (None if oracle.current is None else
+                           _diag_to_json(oracle.current_line_no, oracle.current)),
+            "n_lines": len(lines),
+        })
+        return pd.DataFrame(out, columns=[f.name for f in _CHUNK_OUT_SCHEMA.fields])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from buildlogparser_spark.oracle import ParserOracle
+
+        pdf = pdf.sort_values("chunk_id")
+        conv = pdf["conv_id"].iloc[0] if len(pdf) else None
+        out: list[dict] = []
+
+        def decide(chunk: int, keep_after: int) -> None:
+            out.append({**_dec_none, "kind": "k", "conv_id": conv,
+                        "chunk_id": chunk, "keep_after_turn": keep_after})
+
+        def repair(t: int | None, d) -> None:
+            out.append(dict(_dec_none, **_diag_row(conv, t, d), kind="d"))
+
+        state_json: str | None = None
+        for row in pdf.itertuples(index=False):
+            chunk = int(row.chunk_id)
+            if state_json is None:
+                # entering state empty == the speculative run's premise:
+                # adopt its diagnostics and exit state, re-parse nothing
+                decide(chunk, _KEEP_ALL)
+                state_json = row.exit_state
+                continue
+            oracle = ParserOracle(rules_factory())
+            oracle.current_line_no, oracle.current = _diag_from_json(state_json)
+            converged_turn = None
+            for i, (t, line) in enumerate(zip(row.p_turns, row.p_lines)):
+                oracle.consume_line(line, int(t))
+                if oracle.current is None and row.p_none[i]:
+                    converged_turn = int(t)
+                    break
+            if converged_turn is not None:
+                # both runs empty after this line → identical tails: keep
+                # speculative diagnostics starting strictly after it (none
+                # can START on it: the state right after it is None), emit
+                # the repair run's own flushes for the lines before it
+                for t2, d in zip(oracle.out_line_nos, oracle.out):
+                    repair(t2, d)
+                decide(chunk, converged_turn)
+                state_json = row.exit_state
+            elif int(row.n_lines) == len(row.p_lines):
+                # no convergence but the prefix WAS the whole chunk — the
+                # repair run is complete and exact; drop all speculative
+                for t2, d in zip(oracle.out_line_nos, oracle.out):
+                    repair(t2, d)
+                decide(chunk, 1 << 62)
+                state_json = (None if oracle.current is None else
+                              _diag_to_json(oracle.current_line_no,
+                                            oracle.current))
+            else:
+                # one block open for > repair_cap lines into a full chunk:
+                # this conversation re-parses sequentially (exact), nothing
+                # chunk-level is trustworthy — emit ONLY the fallback marker
+                return pd.DataFrame(
+                    [{**_dec_none, "kind": "f", "conv_id": conv,
+                      "chunk_id": chunk}],
+                    columns=[f.name for f in _DECISION_SCHEMA.fields])
+        if state_json is not None:  # end-of-conversation flush
+            repair(*_diag_from_json(state_json))
+        return pd.DataFrame(out, columns=[f.name for f in _DECISION_SCHEMA.fields])
+
+    chunked = (
+        transcripts
+        .select("conv_id", "turn_idx", "text",
+                F.floor(F.col("turn_idx") / chunk_size).alias("chunk_id"))
+        .groupBy("conv_id", "chunk_id")
+        .applyInPandas(run_chunk, _CHUNK_OUT_SCHEMA)
+    )
+    # snapshot once: the speculative-diag branch and the (tiny) summary
+    # branch both scan it; without this the regex pass would run per branch
+    chunked = materialize(chunked)
+    summaries = chunked.filter(F.col("kind") == "s").drop(*diag_cols)
+    spec = chunked.filter(F.col("kind") == "d").select(
+        "conv_id", "chunk_id", *diag_cols)
+    decisions = materialize(
+        summaries.groupBy("conv_id").applyInPandas(merge, _DECISION_SCHEMA))
+
+    keep = decisions.filter(F.col("kind") == "k").select(
+        "conv_id", "chunk_id", "keep_after_turn")
+    repaired = decisions.filter(F.col("kind") == "d").select(
+        "conv_id", *diag_cols)
+    fallback = decisions.filter(F.col("kind") == "f").select("conv_id")
+    kept_spec = (
+        spec.join(F.broadcast(keep), ["conv_id", "chunk_id"])
+        .filter(F.col("start_turn_idx").cast("long") > F.col("keep_after_turn"))
+        .select("conv_id", *diag_cols))
+    resolved = kept_spec.unionByName(repaired)
+    # conversations that defeated chunking (one > repair_cap-line block):
+    # exact sequential path for just those — an empty frame in practice
+    fb = parse_stateful(
+        transcripts.join(F.broadcast(fallback), "conv_id", "left_semi"),
+        rules_factory)
+    return resolved.unionByName(fb)
+
+
+def parse_stateful_chunked_flat(
+    transcripts: DataFrame, rules_factory: Callable[[], list[Rule]],
+    chunk_size: int = 65536,
+) -> DataFrame:
+    """:func:`parse_stateful_chunked` in the driver-sortable scalar shape
+    (same projection contract as :func:`parse_stateful_flat`)."""
+    return parse_stateful_chunked(transcripts, rules_factory, chunk_size).select(
         "conv_id", "start_turn_idx",
         "file", "line", "column", "severity", "message",
         F.size("related_messages").cast("long").alias("n_related"),
