@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curated_corpus carries the curation gate row)
         "sequence_pack_plan": lambda spark, sf: cf.sequence_pack_plan(
             _docs(spark, sf)),
+        # realistic token budget (GPT-2 pre-tokenizer BPE estimate — round 5)
+        "sequence_pack_plan_bpe": lambda spark, sf: cf.sequence_pack_plan(
+            _docs(spark, sf), tokenizer="bpe"),
         "source_mix_weights": lambda spark, sf: cf.source_mix_weights(
             _docs(spark, sf)),
         # IVF assignment stage of the graded ivf_topk / semantic_dedup rows
@@ -198,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": cf.boilerplate_ngrams_sql(),
         "boilerplate_stats": cf.boilerplate_stats_sql(),
         "sequence_pack_plan": cf.sequence_pack_plan_sql(),
+        "sequence_pack_plan_bpe": cf.sequence_pack_plan_sql(tokenizer="bpe"),
         "source_mix_weights": cf.source_mix_weights_sql(),
         "ivf_assign": sim.ivf_assign_sql(),
     }

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..rounding import portable_round, portable_round_sql
-from .dedup import _md5_i64, _md5_i64_sql, shingles, shingles_sql, tokens, TOKENS_SQL
+from .dedup import (
+    _md5_i64, _md5_i64_sql, bpe_token_estimate, bpe_tokens_sql, shingles,
+    shingles_sql, tokens, TOKENS_SQL)
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -338,7 +340,8 @@ FROM {table} b LEFT JOIN per_doc p USING (doc_id)
 
 
 def sequence_pack_plan(documents: DataFrame, seq_len: int = 128,
-                       n_shards: int = 8) -> DataFrame:
+                       n_shards: int = 8,
+                       tokenizer: str = "whitespace") -> DataFrame:
     """(doc_id, shard, n_tokens, start_tok, first_seq, last_seq): the
     concat-and-chunk packing plan pretraining batch assembly uses — docs
     are concatenated in a deterministic order and cut into fixed
@@ -352,8 +355,15 @@ def sequence_pack_plan(documents: DataFrame, seq_len: int = 128,
     ordered by doc_id. At 100 TB the window partitions by shard (pick
     n_shards ≈ cluster parallelism × small constant); no corpus-global
     ordering ever exists. Zero-token docs occupy no space: first_seq =
-    last_seq = the sequence their offset falls in."""
-    n = F.size(tokens(F.col("text"))).cast("long")
+    last_seq = the sequence their offset falls in.
+
+    ``tokenizer="bpe"`` (round 5) budgets by the GPT-2 pre-tokenizer BPE
+    estimate (:func:`~.dedup.bpe_token_estimate`) instead of whitespace
+    words — the realistic accounting for pretraining sequence budgets."""
+    if tokenizer == "bpe":
+        n = bpe_token_estimate(F.col("text"))
+    else:
+        n = F.size(tokens(F.col("text"))).cast("long")
     shard = (_md5_i64(F.concat(F.lit("pack"), F.col("doc_id").cast("string")))
              % n_shards).cast("int")
     base = documents.select("doc_id", shard.alias("shard"), n.alias("n_tokens"))
@@ -375,13 +385,17 @@ def sequence_pack_plan(documents: DataFrame, seq_len: int = 128,
 
 
 def sequence_pack_plan_sql(table: str = "documents", seq_len: int = 128,
-                           n_shards: int = 8) -> str:
-    toks = TOKENS_SQL.format(c="text")
+                           n_shards: int = 8,
+                           tokenizer: str = "whitespace") -> str:
+    if tokenizer == "bpe":
+        n_sql = bpe_tokens_sql("text")
+    else:
+        n_sql = f"CAST(len({TOKENS_SQL.format(c='text')}) AS BIGINT)"
     shard = _md5_i64_sql("'pack' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH base AS (
   SELECT doc_id, CAST({shard} % {n_shards} AS INTEGER) AS shard,
-         CAST(len({toks}) AS BIGINT) AS n_tokens
+         {n_sql} AS n_tokens
   FROM {table}
 ), offs AS (
   SELECT *, CAST(coalesce(sum(n_tokens) OVER (

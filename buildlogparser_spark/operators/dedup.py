@@ -57,6 +57,45 @@ TOKENS_SQL = (
 )
 
 
+# GPT-2-style pre-tokenizer (public spec: Radford et al. 2019; the
+# openai/gpt-2 encoder.py regex), restricted to the Java∩RE2 common subset:
+# the original's `\s+(?!\S)` lookahead branch is dropped (RE2 has no
+# lookarounds), which only changes how runs of 2+ spaces attach — a
+# disclosed approximation, identical in both engines. Each pre-token piece
+# is then estimated at ceil(len/6) subwords (typical English BPE piece
+# length), making token budgets ~realistic for packing without a learned
+# merge table (VERDICT r04 #8).
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+BPE_CHARS_PER_PIECE = 6
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Deterministic BPE-ish token count: Σ over GPT-2 pre-token pieces of
+    ceil(len(piece)/6). The pieces array is a bound aggregate argument
+    (evaluated once — not the shingles() per-element trap)."""
+    pieces = F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+    return F.aggregate(
+        pieces, F.lit(0).cast("long"),
+        lambda acc, p: acc + F.floor((F.length(p) + BPE_CHARS_PER_PIECE - 1)
+                                     / BPE_CHARS_PER_PIECE).cast("long"))
+
+
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
+
+
+def bpe_tokens_sql(c: str) -> str:
+    """DuckDB twin of :func:`bpe_token_estimate` (a function, not a
+    .format template: the regex's ``\\p{L}`` braces would collide with
+    str.format placeholders)."""
+    return (
+        "CAST(coalesce(list_sum(list_transform("
+        f"regexp_extract_all({c}, '{_BPE_RE_SQL}'), "
+        f"p -> (length(p) + {BPE_CHARS_PER_PIECE - 1}) // {BPE_CHARS_PER_PIECE}"
+        ")), 0) AS BIGINT)"
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as space-joined strings (distinct). Empty for docs
     with fewer than k tokens — the n >= k gate is load-bearing: a negative
@@ -203,6 +242,39 @@ def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def banded_rows_rowwise(documents: DataFrame, num_hashes: int = 32,
+                        bands: int = 8, shingle_k: int = 3) -> DataFrame:
+    """(doc_id, band, bucket) — the banded MinHash signature computed as a
+    PER-ROW expression (no explode, no groupBy): min over the let-bound
+    hashed-shingle array per coefficient pair, then the same
+    md5(concat_ws(slice)) band buckets as :func:`lsh_candidates`.
+
+    Bucket values are identical to the batch path (pinned by
+    tests/test_streaming_neardup.py comparing final pair sets); the reason
+    this variant exists is STREAMING: a stateful op cannot sit downstream
+    of a shuffle aggregation, so the signature must be computable within
+    the row. Docs with fewer than shingle_k tokens produce no shingles and
+    are dropped, matching the batch explode semantics. The hashed-shingle
+    array is let-bound once (single-element transform) so the 32 mins do
+    not re-evaluate the shingle split per coefficient — the shingles()
+    quadratic lesson (BENCH/SKEW.md) applied at this level too."""
+    rows_per_band = num_hashes // bands
+    coeffs = _minhash_coeffs(num_hashes)
+    hashed = F.transform(shingles(F.col("text"), shingle_k),
+                         lambda s: _md5_i32(s))
+    sig = F.transform(F.array(hashed), lambda hs: F.array(*[
+        F.array_min(F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b))
+                                % F.lit(MERSENNE_P)))
+        for a, b in coeffs]))[0]
+    buckets = F.transform(F.array(sig), lambda sg: F.array(*[
+        F.md5(F.concat_ws(",", F.slice(sg, b * rows_per_band + 1,
+                                       rows_per_band)))
+        for b in range(bands)]))[0]
+    return (documents
+            .filter(F.size(shingles(F.col("text"), shingle_k)) > 0)
+            .select("doc_id", F.posexplode(buckets).alias("band", "bucket")))
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..rounding import portable_round, portable_round_sql
-from .dedup import TOKENS_SQL, tokens
+from .dedup import TOKENS_SQL, bpe_token_estimate, bpe_tokens_sql, tokens
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
 # (A real deployment would load fastText lid.176 via a pandas UDF — the
@@ -48,15 +48,18 @@ def lang_id(documents: DataFrame) -> DataFrame:
 
 
 def token_count(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars_text): whitespace/punct tokenization +
-    a BPE-ish subword estimate (ceil of chars/4 — the common
-    ~4-chars-per-token heuristic, integer math only)."""
+    """(doc_id, n_tokens, n_chars_text, n_subwords_est, n_bpe_tokens):
+    whitespace/punct tokenization, a chars/4 subword estimate (the common
+    ~4-chars-per-token heuristic, integer math only), and the GPT-2
+    pre-tokenizer BPE estimate (:func:`~.dedup.bpe_token_estimate` —
+    round 5, makes packing budgets ~realistic)."""
     toks = tokens(F.col("text"))
     return documents.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_text"),
         ((F.length("text") + 3) / 4).cast("long").alias("n_subwords_est"),
+        bpe_token_estimate(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -163,7 +166,8 @@ def token_count_sql(table: str = "documents") -> str:
 SELECT doc_id,
        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_text,
-       CAST((length(text) + 3) // 4 AS BIGINT) AS n_subwords_est
+       CAST((length(text) + 3) // 4 AS BIGINT) AS n_subwords_est,
+       {bpe_tokens_sql('text')} AS n_bpe_tokens
 FROM {table}
 """
 

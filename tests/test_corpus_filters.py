@@ -244,3 +244,45 @@ def test_boilerplate_and_packing_survive_hot_document(spark):
     assert plan[0].last_seq - plan[0].first_seq == (200_000 - 1) // 2048
     for d in range(1, 21):
         assert plan[d].last_seq - plan[d].first_seq == 0
+
+
+def test_bpe_token_estimate_fixture(spark, duck_smoke):
+    """Hand-computed GPT-2-pre-tokenizer BPE estimates, cross-engine.
+
+    Pieces for "It's a test-case,  OK 1234567": ["It", "'s", " a", " test",
+    "-", "case", ",", " ", " OK", " 1234567"] → ceil(len/6) each =
+    1+1+1+1+1+1+1+1+1+2 = 11. Unicode letters ride \\p{L}: "héllo wörld"
+    → ["héllo", " wörld"] = 1+1."""
+    from buildlogparser_spark.operators.dedup import (
+        bpe_token_estimate, bpe_tokens_sql)
+
+    cases = [
+        ("It's a test-case,  OK 1234567", 11),
+        ("héllo wörld", 2),
+        ("", 0),
+        ("supercalifragilisticexpialidocious", 6),  # 34 chars → ceil/6
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, (t, _) in enumerate(cases)])
+    got = {r.doc_id: r.n for r in docs.select(
+        "doc_id", bpe_token_estimate(F.col("text")).alias("n")).collect()}
+    assert got == {i: n for i, (t, n) in enumerate(cases)}
+
+    duck_smoke.execute("CREATE OR REPLACE TEMP TABLE bpe_fix(doc_id INT, text VARCHAR)")
+    duck_smoke.executemany("INSERT INTO bpe_fix VALUES (?, ?)",
+                           [(i, t) for i, (t, _) in enumerate(cases)])
+    duck = {int(r[0]): int(r[1]) for r in duck_smoke.execute(
+        f"SELECT doc_id, {bpe_tokens_sql('text')} FROM bpe_fix"
+    ).fetchall()}
+    assert duck == got
+
+
+def test_sequence_pack_plan_bpe_budget(spark):
+    """tokenizer='bpe' budgets by the subword estimate: a doc of one long
+    word (34 chars → 6 subwords) occupies 6 token slots, not 1."""
+    rows = [("supercalifragilisticexpialidocious", "en"), ("a b c", "en")]
+    plan = {r.doc_id: r for r in cf.sequence_pack_plan(
+        _docs(spark, rows), seq_len=8, n_shards=1, tokenizer="bpe").collect()}
+    by_start = sorted(plan.values(), key=lambda r: r.start_tok)
+    assert {r.n_tokens for r in plan.values()} == {6, 3}
+    assert by_start[1].start_tok == by_start[0].n_tokens

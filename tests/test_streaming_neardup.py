@@ -1,0 +1,87 @@
+"""Streaming MinHash/LSH near-dup (round 5 — VERDICT r04 Missing #4): the
+candidate-pair stream across micro-batch boundaries must equal the batch
+lsh_candidates answer on the same landed corpus (as a SET — the stream is
+at-least-once), and pairs whose two documents arrived in DIFFERENT
+micro-batches must be found via the persisted bucket state."""
+
+from __future__ import annotations
+
+import pytest
+
+from buildlogparser_spark.operators.dedup import (
+    banded_rows_rowwise, lsh_candidates)
+from buildlogparser_spark.streaming.neardup import stream_lsh_candidate_pairs
+from conftest import SF_SMOKE
+
+SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark):
+    return (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+
+
+def test_rowwise_banding_equals_batch_banding(spark):
+    """The per-row signature expression must produce the identical
+    (doc_id, band, bucket) set as the explode+groupBy batch path — this is
+    what makes the streaming op's recall equal to lsh_candidates'."""
+    from buildlogparser_spark.operators.dedup import minhash_signatures
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rowwise = {(r.doc_id, r.band, r.bucket)
+               for r in banded_rows_rowwise(docs).collect()}
+    sig = minhash_signatures(docs)
+    batch = {(r.doc_id, r.band, r.bucket) for r in sig.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda b: F.md5(F.concat_ws(",", F.slice(F.col("sig"),
+                                                     b * 4 + 1, 4)))
+        )).alias("band", "bucket")).collect()}
+    assert rowwise == batch
+    assert len(rowwise) > 0
+
+
+def test_stream_pairs_equal_batch_across_microbatches(spark, tmp_path, docs_pdf):
+    """Two availableNow runs (even doc_ids land first, odd second — batch
+    order pinned structurally: the second file is written only after the
+    first run terminates): the union of emitted pairs must equal
+    lsh_candidates over the full corpus, and at least one pair must span
+    the batch boundary (found via state, not within one batch)."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    even = docs_pdf[docs_pdf["doc_id"] % 2 == 0]
+    odd = docs_pdf[docs_pdf["doc_id"] % 2 == 1]
+
+    def write(pdf):
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (stream_lsh_candidate_pairs(stream)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write(even)
+    run_once()
+    first = {(r.doc_a, r.doc_b) for r in spark.read.parquet(out_dir).collect()}
+
+    write(odd)
+    run_once()
+    got = {(r.doc_a, r.doc_b) for r in spark.read.parquet(out_dir).collect()}
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {(r.doc_a, r.doc_b) for r in lsh_candidates(docs).collect()}
+    assert got == want
+    assert len(want) > 0
+    cross = {(a, b) for a, b in got - first if (a % 2) != (b % 2)}
+    assert cross, "no pair spanned the micro-batch boundary — vacuous test"
+    # every pair ordered and no self-pairs
+    assert all(a < b for a, b in got)
