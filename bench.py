@@ -39,7 +39,8 @@ from buildlogparser_spark.operators.classify import classify  # noqa: E402
 from buildlogparser_spark.operators import aggregate as agg  # noqa: E402
 from buildlogparser_spark.operators.assemble import (  # noqa: E402
     assemble_compile_blocks, assemble_compile_blocks_chunked, parse_stateful,
-    parse_stateful_chunked, swiftbuild_compile_blocks, xctest_blocks)
+    parse_stateful_auto, parse_stateful_chunked, swiftbuild_compile_blocks,
+    xctest_blocks)
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
@@ -156,6 +157,8 @@ def main() -> None:
               lambda: parse_stateful(transcripts, default_stack).count())
         timed("q8b_parse_stateful_chunked",
               lambda: parse_stateful_chunked(transcripts, default_stack).count())
+        timed("q8c_parse_stateful_auto",
+              lambda: parse_stateful_auto(transcripts, default_stack).count())
         # month buckets + small salt at sandbox sf: keeps dir count sane for
         # tiny inputs; production keeps day granularity + 64 salt buckets
         timed("q9_route_writes", lambda: route_writes(
@@ -190,7 +193,9 @@ def main() -> None:
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
         r02_set = {q: s for q, s in queries.items()
-                   if q not in ("q15_swiftbuild_blocks", "q16_xctest_blocks",
+                   if q not in ("q8b_parse_stateful_chunked",
+                                "q8c_parse_stateful_auto",
+                                "q15_swiftbuild_blocks", "q16_xctest_blocks",
                                 "q17_curation_pipeline")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps

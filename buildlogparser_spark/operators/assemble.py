@@ -273,11 +273,18 @@ def parse_stateful_chunked(
         out = [dict(_chunk_none, **_diag_row(conv, t, d), kind="d",
                     chunk_id=chunk)
                for t, d in zip(oracle.out_line_nos, oracle.out)]
+        # chunk 0 can only be a conversation's FIRST chunk (chunk ids are
+        # non-negative and distinct per conv), and the merge enters the
+        # first chunk with state None — adopted wholesale, repair prefix
+        # never read. Skipping it halves pass-1 output bytes in the
+        # balanced (single-chunk-per-conv) regime.
+        first_chunk = chunk == 0
         out.append({
             **_chunk_none,
             "kind": "s", "conv_id": conv, "chunk_id": chunk,
-            "p_lines": lines[:repair_cap], "p_turns": turns[:repair_cap],
-            "p_none": p_none,
+            "p_lines": [] if first_chunk else lines[:repair_cap],
+            "p_turns": [] if first_chunk else turns[:repair_cap],
+            "p_none": [] if first_chunk else p_none,
             "exit_state": (None if oracle.current is None else
                            _diag_to_json(oracle.current_line_no, oracle.current)),
             "n_lines": len(lines),
@@ -371,27 +378,71 @@ def parse_stateful_chunked(
         .filter(F.col("start_turn_idx").cast("long") > F.col("keep_after_turn"))
         .select("conv_id", *diag_cols))
     resolved = kept_spec.unionByName(repaired)
-    # conversations that defeated chunking (one > repair_cap-line block):
-    # exact sequential path for just those — an empty frame in practice
+    # conversations that defeated chunking (one > repair_cap-line block)
+    # re-parse on the exact sequential path. Empty in practice — and the
+    # operator is already eager (materialize writes above), so checking
+    # the tiny decisions snapshot is one cheap control-plane action that
+    # spares the common case a second transcripts scan + an empty
+    # applyInPandas stage.
+    if fallback.limit(1).count() == 0:
+        return resolved
     fb = parse_stateful(
         transcripts.join(F.broadcast(fallback), "conv_id", "left_semi"),
         rules_factory)
     return resolved.unionByName(fb)
 
 
-def parse_stateful_chunked_flat(
+def parse_stateful_auto(
     transcripts: DataFrame, rules_factory: Callable[[], list[Rule]],
-    chunk_size: int = 65536,
+    chunk_size: int = 65536, repair_cap: int = 4096,
 ) -> DataFrame:
-    """:func:`parse_stateful_chunked` in the driver-sortable scalar shape
-    (same projection contract as :func:`parse_stateful_flat`)."""
-    return parse_stateful_chunked(transcripts, rules_factory, chunk_size).select(
+    """Route conversations by size: ones that fit in a single chunk take
+    the plain one-task-per-conversation path (`parse_stateful` — its only
+    skew risk IS the oversized conversation), oversized ones take the
+    chunked speculative path. The size probe is one cheap count-by-conv
+    hash-agg (a control-plane action, same spirit as AQE statistics); when
+    nothing is oversized — the common balanced regime — the chunked
+    machinery costs literally nothing. Exact either way; differential-
+    tested beside the other two in tests/test_assemble_chunked_stateful.py."""
+    counts = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    hot = counts.filter(F.col("n_turns") > chunk_size).select("conv_id")
+    if hot.limit(1).count() == 0:
+        return parse_stateful(transcripts, rules_factory)
+    from ..materialize import materialize
+
+    hot = materialize(hot)  # consumed by both the semi and anti joins
+    small = transcripts.join(F.broadcast(hot), "conv_id", "left_anti")
+    big = transcripts.join(F.broadcast(hot), "conv_id", "left_semi")
+    return parse_stateful(small, rules_factory).unionByName(
+        parse_stateful_chunked(big, rules_factory, chunk_size, repair_cap))
+
+
+def _flat_projection(df: DataFrame) -> DataFrame:
+    """STATEFUL_SCHEMA → driver-sortable scalars (same contract as
+    :func:`parse_stateful_flat`)."""
+    return df.select(
         "conv_id", "start_turn_idx",
         "file", "line", "column", "severity", "message",
         F.size("related_messages").cast("long").alias("n_related"),
         F.concat_ws("\n", "related_messages").alias("related_joined"),
         "source", "category", "raw", "build_target",
     )
+
+
+def parse_stateful_chunked_flat(
+    transcripts: DataFrame, rules_factory: Callable[[], list[Rule]],
+    chunk_size: int = 65536,
+) -> DataFrame:
+    return _flat_projection(
+        parse_stateful_chunked(transcripts, rules_factory, chunk_size))
+
+
+def parse_stateful_auto_flat(
+    transcripts: DataFrame, rules_factory: Callable[[], list[Rule]],
+    chunk_size: int = 65536,
+) -> DataFrame:
+    return _flat_projection(
+        parse_stateful_auto(transcripts, rules_factory, chunk_size))
 
 
 def assemble_compile_blocks(transcripts: DataFrame, source: str = "compiler",

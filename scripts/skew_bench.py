@@ -104,7 +104,7 @@ def main() -> None:
     from buildlogparser_spark.session import get_spark
     from buildlogparser_spark.operators.assemble import (
         assemble_compile_blocks, assemble_compile_blocks_chunked,
-        parse_stateful, parse_stateful_chunked)
+        parse_stateful, parse_stateful_auto, parse_stateful_chunked)
     from buildlogparser_spark.rules.table import CompileErrorRule
 
     spark = get_spark("skew-bench", cores=args.cores,
@@ -119,11 +119,13 @@ def main() -> None:
     tr_s = _skew_corpus(spark, args.stateful_hot_turns, "/tmp/blp_skew_tr_s")
     stateful_res = _race(tr_s, [
         ("unchunked", lambda df: parse_stateful(df, stack)),
-        ("chunked", lambda df: parse_stateful_chunked(df, stack))])
+        ("chunked", lambda df: parse_stateful_chunked(df, stack)),
+        ("auto", lambda df: parse_stateful_auto(df, stack))])
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     w, c = compile_res["windowed"][0], compile_res["chunked"][0]
     su, sc = stateful_res["unchunked"][0], stateful_res["chunked"][0]
+    sa = stateful_res["auto"][0]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
         f.write(f"""# BENCH/SKEW — hot-conversation skew defense
@@ -155,6 +157,7 @@ measurable). Identical diagnostics ({stateful_res['unchunked'][1]:,}).
 |---|---|---|
 | `parse_stateful` | one Python state-machine task per conversation | {su} |
 | `parse_stateful_chunked` | speculative per-chunk runs in parallel + per-conversation boundary repair (re-parses only until provable state convergence) | {sc} |
+| `parse_stateful_auto` (graded path) | size-routes: single-chunk conversations → plain path, oversized → chunked (count-by-conv probe; zero chunking overhead when nothing is oversized — sf0.1 balanced: auto ≈ plain, chunked pays ~5× in per-job fixed costs) | {sa} |
 
 **{su / sc:.1f}× faster under skew** — the regex-heavy consumeLine work
 now parallelizes across chunks of the hot conversation; the sequential

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from buildlogparser_spark.datagen import conversations_df, gen_conversations
 from buildlogparser_spark.oracle import parse_lines_with_turns
 from buildlogparser_spark.operators.assemble import (
-    parse_stateful, parse_stateful_chunked)
+    parse_stateful, parse_stateful_auto, parse_stateful_chunked)
 from buildlogparser_spark.rules.table import default_stack
 from buildlogparser_spark.rules.table import test_stack as _ref_test_stack
 
@@ -123,6 +123,40 @@ def test_block_open_across_many_chunks(spark):
     assert got == exp
     (key,) = got
     assert key[10] == tuple(f"  note: continuation {i}" for i in range(200))
+
+
+def test_auto_routes_small_conversations_plain(spark):
+    """No conversation exceeds the chunk size → auto must equal the plain
+    path's answer (and take it: the probe finds nothing oversized)."""
+    df = conversations_df(spark, SEED + 3, 12)
+    a = _got(parse_stateful_auto(df, _ref_test_stack, chunk_size=65536))
+    b = _got(parse_stateful(df, _ref_test_stack))
+    assert a == b
+
+
+def test_auto_routes_mixed_sizes_exactly(spark):
+    """One conversation above the chunk threshold beside normal ones: auto
+    must union the two paths without losing or duplicating either side —
+    including a block straddling the hot conversation's chunk boundary."""
+    lines = []
+    for i in range(300):
+        if i % 10 == 0:
+            lines.append(f"/app/F{i}.swift:1:2: error: boom {i}")
+        elif i % 10 in (1, 2):
+            lines.append(f"  note: detail {i}")
+        else:
+            lines.append("")
+    rows = [("hot", i, "user", t, "none") for i, t in enumerate(lines)]
+    rows += [("cold", i, "user", t, "none")
+             for i, t in enumerate(["/a/X.swift:1:2: error: e", "  note: n", ""])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit(None).cast("timestamp_ntz"))
+
+    a = _got(parse_stateful_auto(df, _ref_test_stack, chunk_size=64))
+    b = _got(parse_stateful(df, _ref_test_stack))
+    assert a == b
+    assert any(k[0] == "hot" for k in a) and any(k[0] == "cold" for k in a)
 
 
 def test_fallback_when_block_outlives_repair_cap(spark):
