@@ -64,9 +64,12 @@ TOKENS_SQL = (
 # disclosed approximation, identical in both engines. Each pre-token piece
 # is then estimated at ceil(len/6) subwords (typical English BPE piece
 # length), making token budgets ~realistic for packing without a learned
-# merge table (VERDICT r04 #8).
+# merge table (VERDICT r04 #8). Whitespace is an EXPLICIT class, not \s:
+# Java's \s includes U+000B where RE2's does not, so \s would tokenize
+# vertical-tab content differently per engine.
 BPE_PRETOKEN_RE = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+")
 BPE_CHARS_PER_PIECE = 6
 
 

@@ -261,6 +261,10 @@ def test_bpe_token_estimate_fixture(spark, duck_smoke):
         ("héllo wörld", 2),
         ("", 0),
         ("supercalifragilisticexpialidocious", 6),  # 34 chars → ceil/6
+        # U+000B is whitespace in Java's \s but NOT RE2's — the explicit
+        # whitespace class makes both engines call it "other": pieces
+        # ["a", "\x0b\x0b", " b"] → 3
+        ("a\x0b\x0b b", 3),
     ]
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, (t, _) in enumerate(cases)])

@@ -126,6 +126,20 @@ def test_training_splits_dominant_cluster(spark):
     assert trained <= 0.5, f"trained quantizer still has a {trained:.0%} cluster"
 
 
+def test_kmeans_partition_count_invariance(spark):
+    """Training is deterministic under physical layout: 2 vs 16 input
+    partitions produce bit-equal centroids (the vec_id-ordered sequential
+    folds make float addition order layout-independent)."""
+    dim = 8
+    dirs = [_unit([1.0] * dim), _unit([1.0, -1.0] * (dim // 2))]
+    docs = _synthetic_emb(spark, [(d, 30, 0.3) for d in dirs], dim)
+    a = {r.cid: list(r.cvec) for r in sim.kmeans_centroids(
+        docs.repartition(2), 4, dim=dim, n_iters=3).collect()}
+    b = {r.cid: list(r.cvec) for r in sim.kmeans_centroids(
+        docs.repartition(16), 4, dim=dim, n_iters=3).collect()}
+    assert a == b
+
+
 def test_auto_n_centroids_scales(spark, emb):
     n = emb.count()
     auto = sim._auto_n_centroids(emb)
