@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), snapshot_key=sf),
         # fingerprint stage of the graded simhash_near_pairs
         "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
+        # candidate-level first-seen dedup verdict (round 5 — batch twin of
+        # streaming.neardup.stream_neardup_filter)
+        "lsh_dedup_keep": lambda spark, sf: dd.lsh_dedup_keep(
+            _docs(spark, sf), snapshot_key=sf),
         # textstats siblings (graded: lang_id / token_count / quality_score)
         "doc_fingerprint": lambda spark, sf: ts.fingerprint(_docs(spark, sf)),
         "doc_language_profile": lambda spark, sf: ts.doc_language_profile(
@@ -185,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": dd.minhash_signatures_flat_sql(),
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs_sql(),
         "simhash": dd.simhash_sql(),
+        "lsh_dedup_keep": dd.lsh_dedup_keep_sql(),
         "doc_fingerprint": ts.fingerprint_sql(),
         "doc_language_profile": ts.doc_language_profile_sql(),
         "media_assets": (

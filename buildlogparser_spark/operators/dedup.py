@@ -280,6 +280,46 @@ def banded_rows_rowwise(documents: DataFrame, num_hashes: int = 32,
             .select("doc_id", F.posexplode(buckets).alias("band", "bucket")))
 
 
+def lsh_dedup_keep(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
+                   shingle_k: int = 3,
+                   snapshot_key: str | None = None) -> DataFrame:
+    """(doc_id, kept): the first-seen LSH dedup verdict — a document is
+    dropped iff a LOWER-id document shares at least one band bucket with
+    it (i.e. it appears as doc_b in :func:`lsh_candidates`). This is the
+    candidate-level keep policy (no Jaccard verify — the aggressive
+    ingest-side filter); the verified pipeline composes
+    ngram_jaccard_pairs + components instead. Docs too short to shingle
+    produce no buckets and are always kept, matching the banding
+    semantics. Batch twin of
+    :func:`~..streaming.neardup.stream_neardup_filter`: the batch policy
+    is lowest-ID, the streaming one first-SEEN — identical verdicts
+    exactly when arrival order is id-monotonic (the streaming pytest
+    asserts set equality under that contract; with out-of-order arrival
+    the streaming filter keeps the earliest arrival instead, the standard
+    ingest-side behavior)."""
+    dropped = (lsh_candidates(documents, num_hashes, bands, shingle_k,
+                              snapshot_key)
+               .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (documents.select("doc_id")
+            .join(dropped.withColumn("hit", F.lit(True)), "doc_id", "left")
+            .select("doc_id", F.coalesce("hit", F.lit(False)).alias("dropped"))
+            .select("doc_id", (~F.col("dropped")).alias("kept")))
+
+
+def lsh_dedup_keep_sql(table: str = "documents", num_hashes: int = 32,
+                       bands: int = 8, shingle_k: int = 3) -> str:
+    return f"""
+WITH banded AS MATERIALIZED ({_banded_sql(table, num_hashes, bands, shingle_k)}),
+dropped AS (
+  SELECT DISTINCT r.doc_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT t.doc_id, d.doc_id IS NULL AS kept
+FROM {table} t LEFT JOIN dropped d ON t.doc_id = d.doc_id
+"""
+
+
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                         shingle_k: int = 3, num_hashes: int = 32,
                         bands: int = 8, snapshot_key: str | None = None) -> DataFrame:

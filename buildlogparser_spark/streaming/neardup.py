@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, LongType, StructField, StructType,
+    ArrayType, BooleanType, LongType, StructField, StructType,
 )
 
 from ..operators.dedup import banded_rows_rowwise
@@ -49,6 +49,98 @@ PAIR_SCHEMA = StructType([
 _BUCKET_STATE_SCHEMA = StructType([
     StructField("ids", ArrayType(LongType())),
 ])
+
+
+VERDICT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("collided", BooleanType()),
+])
+
+
+def stream_neardup_verdicts(documents: DataFrame, num_hashes: int = 32,
+                            bands: int = 8, shingle_k: int = 3,
+                            state_ttl_ms: int | None = None) -> DataFrame:
+    """Per-band first-seen verdicts: one (doc_id, collided) row per band
+    of each arriving document — ``collided`` iff the band bucket already
+    held a lower-id or earlier-batch document. A document is a near-dup
+    iff ANY band collided, so callers reduce with ``max(collided)`` per
+    doc_id (:func:`stream_neardup_filter` does this per micro-batch in
+    foreachBatch — all of a document's band rows are produced in the same
+    batch, so the reduce never crosses a batch boundary).
+
+    Documents too short to shingle bypass the state store entirely (a
+    sentinel band=-1 key per doc emits collided=false without updating
+    state — no state growth from degenerate docs) and are always kept,
+    matching :func:`~..operators.dedup.lsh_dedup_keep`. A doc_id
+    re-ingested later emits nothing (its ids are already in every bucket
+    set) — first occurrence decides, the standard first-seen contract."""
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = [int(d) for pdf in pdfs for d in pdf["doc_id"]]
+        if int(key[0]) == -1:  # shingle-less sentinel: stateless keep
+            out = sorted(set(rows))
+            yield pd.DataFrame({"doc_id": out,
+                                "collided": [False] * len(out)})
+            return
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
+        new_ids = sorted(set(rows) - seen_set)
+        verdicts = []
+        for i, d in enumerate(new_ids):
+            verdicts.append((d, bool(seen) or i > 0))
+        state.update((seen + new_ids,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if verdicts:
+            yield pd.DataFrame(verdicts, columns=["doc_id", "collided"])
+
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if state_ttl_ms is not None
+                    else GroupStateTimeout.NoTimeout)
+    banded = banded_rows_rowwise(documents, num_hashes, bands, shingle_k)
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import shingles
+
+    short = (documents
+             .filter(F.size(shingles(F.col("text"), shingle_k)) == 0)
+             .select("doc_id", F.lit(-1).alias("band"),
+                     F.concat(F.lit("_short_"), F.col("doc_id").cast("string"))
+                     .alias("bucket")))
+    return (banded.unionByName(short).groupBy("band", "bucket")
+            .applyInPandasWithState(fn, VERDICT_SCHEMA, _BUCKET_STATE_SCHEMA,
+                                    "append", timeout_conf))
+
+
+def stream_neardup_filter(documents: DataFrame, out_dir: str,
+                          checkpoint_dir: str, num_hashes: int = 32,
+                          bands: int = 8, shingle_k: int = 3,
+                          state_ttl_ms: int | None = None):
+    """First-seen streaming near-dup FILTER: appends (doc_id, kept)
+    parquet rows to ``out_dir``, kept == no band bucket previously held a
+    lower-id/earlier document — the streaming twin of
+    :func:`~..operators.dedup.lsh_dedup_keep` (set equality asserted in
+    tests/test_streaming_neardup.py). Returns the started StreamingQuery
+    (caller awaits/stops)."""
+    from pyspark.sql import functions as F
+
+    verdicts = stream_neardup_verdicts(documents, num_hashes, bands,
+                                       shingle_k, state_ttl_ms)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.groupBy("doc_id")
+         .agg((~F.max("collided")).alias("kept"))
+         .write.mode("append").parquet(out_dir))
+
+    return (verdicts.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
 
 
 def stream_lsh_candidate_pairs(documents: DataFrame, num_hashes: int = 32,

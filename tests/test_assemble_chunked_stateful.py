@@ -193,3 +193,31 @@ def test_sparse_turn_idx_gaps(spark):
         for k, v in _got(parse_stateful_chunked(
             sparse, _ref_test_stack, chunk_size=64)).items()}
     assert dense_exp == sparse_got
+
+
+def test_chunked_on_random_line_soup(spark):
+    """Seeded random line soup from rule-trigger fragments (the pure-Python
+    fuzz alphabet of test_fuzz_rules) across 60 conversations, chunk_size
+    3 — inputs neither the chunking protocol nor the rules were tuned for;
+    every chunk boundary lands mid-block somewhere in this corpus."""
+    import random
+
+    from tests.test_fuzz_rules import _FRAGMENTS
+
+    rng = random.Random(20260818)
+    rows = []
+    for c in range(60):
+        n = rng.randrange(1, 40)
+        for i in range(n):
+            parts = [rng.choice(_FRAGMENTS) if rng.random() < 0.7 else
+                     "".join(rng.choice("ab:/. 0123") for _ in range(rng.randrange(0, 12)))
+                     for _ in range(rng.randrange(0, 6))]
+            rows.append((f"c{c}", i, "user", " ".join(parts), "none"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit(None).cast("timestamp_ntz"))
+
+    got = _got(parse_stateful_chunked(df, _ref_test_stack, chunk_size=3))
+    exp = _got(parse_stateful(df, _ref_test_stack))
+    assert got == exp
+    assert sum(exp.values()) > 40  # the soup actually triggers rules

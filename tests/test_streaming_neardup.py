@@ -9,8 +9,9 @@ from __future__ import annotations
 import pytest
 
 from buildlogparser_spark.operators.dedup import (
-    banded_rows_rowwise, lsh_candidates)
-from buildlogparser_spark.streaming.neardup import stream_lsh_candidate_pairs
+    banded_rows_rowwise, lsh_candidates, lsh_dedup_keep)
+from buildlogparser_spark.streaming.neardup import (
+    stream_lsh_candidate_pairs, stream_neardup_filter)
 from conftest import SF_SMOKE
 
 SCHEMA = "doc_id long, text string"
@@ -85,3 +86,56 @@ def test_stream_pairs_equal_batch_across_microbatches(spark, tmp_path, docs_pdf)
     assert cross, "no pair spanned the micro-batch boundary — vacuous test"
     # every pair ordered and no self-pairs
     assert all(a < b for a, b in got)
+
+
+def test_stream_filter_equals_batch_keep(spark, tmp_path, docs_pdf):
+    """The streaming FILTER implements first-SEEN; the batch twin is
+    lowest-ID. The two coincide exactly when arrival order is id-monotonic
+    (the documented equivalence contract), so the corpus is split by id
+    range: low half first, then high half + two shingle-less docs that
+    must always be kept without touching state."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    short = pd.DataFrame({"doc_id": [990001, 990002],
+                          "text": ["tiny", "ab cd"]})  # < 3 tokens each
+    cut = int(docs_pdf["doc_id"].median())
+    low = docs_pdf[docs_pdf["doc_id"] <= cut]
+    high = pd.concat([docs_pdf[docs_pdf["doc_id"] > cut], short],
+                     ignore_index=True)
+
+    def write(pdf):
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = stream_neardup_filter(stream, out_dir, ckpt)
+        q.awaitTermination(180)
+
+    write(low)
+    run_once()
+    write(high)
+    run_once()
+
+    got = {r.doc_id: r.kept for r in spark.read.parquet(out_dir).collect()}
+
+    full = spark.createDataFrame(
+        pd.concat([docs_pdf, short], ignore_index=True), SCHEMA)
+    want = {r.doc_id: r.kept for r in lsh_dedup_keep(full).collect()}
+    assert got == want
+    assert got[990001] and got[990002]          # shingle-less always kept
+    assert not all(got.values())                # some near-dup was dropped
+    # at least one PROVABLY cross-batch drop: a high-id doc dropped whose
+    # every lower-id bucket-sharer is a low-id doc — only run-1 state can
+    # have caused its verdict
+    pairs = [(r.doc_a, r.doc_b) for r in lsh_candidates(full).collect()]
+    partners: dict[int, set[int]] = {}
+    for a, b in pairs:
+        partners.setdefault(b, set()).add(a)
+    cross = [b for b, ps in partners.items()
+             if b > cut and not got[b] and all(a <= cut for a in ps)]
+    assert cross, "no drop attributable solely to run-1 bucket state"
