@@ -144,6 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), tokenizer="bpe"),
         "source_mix_weights": lambda spark, sf: cf.source_mix_weights(
             _docs(spark, sf)),
+        # paper-faithful SemDeDup keep policy (one representative per
+        # connected ε-neighborhood — round 5, ADVICE r04 #1; the graded
+        # semantic_dedup row keeps the aggressive disclosed policy)
+        "semantic_dedup_representative": lambda spark, sf:
+            sim.semantic_dedup_representative(_emb(spark, sf), threshold=0.4,
+                                              n_centroids=16, snapshot_key=sf),
         # IVF assignment stage of the graded ivf_topk / semantic_dedup rows
         # (same trained quantizer + snapshot key, so all three share one
         # k-means training and one assignment snapshot per session)
@@ -208,5 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack_plan": cf.sequence_pack_plan_sql(),
         "sequence_pack_plan_bpe": cf.sequence_pack_plan_sql(tokenizer="bpe"),
         "source_mix_weights": cf.source_mix_weights_sql(),
+        "semantic_dedup_representative": sim.semantic_dedup_representative_sql(
+            threshold=0.4, n_centroids=16),
         "ivf_assign": sim.ivf_assign_sql(),
     }

@@ -602,6 +602,91 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.4,
     )
 
 
+def semantic_dedup_representative(embeddings: DataFrame,
+                                  threshold: float = 0.4,
+                                  n_centroids: int | None = 16, dim: int = 64,
+                                  trained: bool = True, n_iters: int = 3,
+                                  sample_mod: int = 1,
+                                  snapshot_key: str | None = None) -> DataFrame:
+    """SemDeDup with the PAPER-FAITHFUL keep policy (closes the disclosed
+    over-drop of :func:`semantic_dedup`, ADVICE r04 #1): one representative
+    per connected ε-neighborhood — the similarity pairs within each IVF
+    cluster form a graph, and only the minimum vec_id of each connected
+    component is kept (so in a chain a~b, b~c, a≁c: a survives, b drops,
+    and c — whose only similar kept vector is none — ALSO drops as part of
+    a's component; the paper's "keep one per duplicate group" read
+    transitively). The third reading — greedy keep-unless-similar-to-a-
+    KEPT-item (a maximal independent set in id order) — would keep c, but
+    its fixpoint needs O(chain length) rounds where components need
+    O(log n); at 10^12 rows the component representative is the policy
+    you can actually run, and it never keeps a duplicate pair. Components
+    via the large-star/small-star rounds
+    (:func:`~.dedup.near_dup_components_star`), bounded by the same
+    cluster-local pair graph — never corpus-wide."""
+    from .dedup import near_dup_components_star
+
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(embeddings)
+    corpus = _assigned_corpus(embeddings, n_centroids, dim, snapshot_key,
+                              trained, n_iters, sample_mod)
+    l, r = corpus.alias("l"), corpus.alias("r")
+    sim = _dot(F.col("l.unit"), F.col("r.unit"))
+    pairs = (
+        l.join(r, [F.col("l.cluster") == F.col("r.cluster"),
+                   F.col("l.vec_id") < F.col("r.vec_id")])
+        .filter(portable_round(sim, 9) >= threshold)
+        .select(F.col("l.vec_id").alias("doc_a"),
+                F.col("r.vec_id").alias("doc_b"))
+    )
+    comp = near_dup_components_star(
+        corpus.select(F.col("vec_id").alias("doc_id")), pairs)
+    return (
+        corpus.select("vec_id", "cluster")
+        .join(comp.select(F.col("doc_id").alias("vec_id"), "component_id"),
+              "vec_id")
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                (F.col("component_id") == F.col("vec_id")).alias("kept"))
+    )
+
+
+def semantic_dedup_representative_sql(threshold: float = 0.4,
+                                      n_centroids: int = 16, dim: int = 64,
+                                      trained: bool = True, n_iters: int = 3,
+                                      sample_mod: int = 1,
+                                      table: str = "embeddings") -> str:
+    """DuckDB twin: identical prelude + pair graph, components via the
+    same recursive min-reachable-id CTE shape as
+    :func:`~.dedup.near_dup_components_sql` (inlined — the prelude and the
+    recursive CTE must share one WITH RECURSIVE clause)."""
+    dot = _DOT_SQL.format(a="a.unit", b="b.unit")
+    return f"""
+WITH RECURSIVE {_ivf_prelude_sql(n_centroids, dim, trained, n_iters, sample_mod, table)},
+assigned AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster, unit FROM csim WHERE rk = 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {portable_round_sql(dot, 9)} >= {threshold}
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc, cand) AS (
+  SELECT vec_id, vec_id FROM assigned
+  UNION
+  SELECT e.dst, r.cand FROM reach r JOIN edges e ON e.src = r.doc
+),
+comp AS (SELECT doc AS vec_id, min(cand) AS component_id FROM reach GROUP BY doc)
+SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+       (c.component_id = s.vec_id) AS kept
+FROM assigned s JOIN comp c USING (vec_id)
+"""
+
+
 def semantic_dedup_sql(threshold: float = 0.4, n_centroids: int = 16,
                        dim: int = 64, trained: bool = True, n_iters: int = 3,
                        sample_mod: int = 1, table: str = "embeddings") -> str:

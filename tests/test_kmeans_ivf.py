@@ -159,3 +159,30 @@ def test_sampled_training_differs_but_assigns_everywhere(spark, emb, duck_smoke)
 
     assert_frames_match(full, duck_df(
         duck_smoke, sim.ivf_assign_sql(8, sample_mod=4)), "ivf_assign_sampled")
+
+
+def test_semantic_dedup_representative_vs_aggressive(spark):
+    """The policy-difference fixture: v2 is similar to BOTH v0 and v1, but
+    v0 and v1 are dissimilar (a 'V' in embedding space). Aggressive keeps
+    {0, 1} (1 has no lower-id similar neighbor); the paper-faithful
+    representative policy keeps {0} only — v0, v1, v2 are one connected
+    component. n_centroids=1 pins everything into a single cluster so the
+    test exercises the keep policy, not the quantizer."""
+    import math
+
+    dim = 8
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    docs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=0)
+         for i, v in enumerate([vec(0), vec(80), vec(40)])])
+
+    agg = {r.vec_id: r.kept for r in sim.semantic_dedup(
+        docs, threshold=0.5, n_centroids=1, dim=dim, trained=False).collect()}
+    rep = {r.vec_id: r.kept for r in sim.semantic_dedup_representative(
+        docs, threshold=0.5, n_centroids=1, dim=dim, trained=False).collect()}
+    assert agg == {0: True, 1: True, 2: False}
+    assert rep == {0: True, 1: False, 2: False}
