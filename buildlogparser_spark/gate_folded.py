@@ -155,6 +155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-means training and one assignment snapshot per session)
         "ivf_assign": lambda spark, sf: sim.ivf_assign(
             _emb(spark, sf), n_centroids=16, snapshot_key=sf),
+        # product quantization (round 5): flat per-subspace codes + ADC
+        # top-k — the memory-bound ANN representation; codebook bit-parity
+        # pinned in tests/test_pq.py
+        "pq_encode": lambda spark, sf: sim.pq_encode(
+            _emb(spark, sf), snapshot_key=sf),
+        "pq_topk": lambda spark, sf: sim.pq_topk(
+            _emb(spark, sf), [1, 2, 3, 4, 5], 5, snapshot_key=sf),
         # ---- folded rows-only (sketches / engine-specific formats) --------
         # accuracy bounded vs exact in tests/test_checkpoint_metrics.py /
         # test_trainingdata_ops.py; contract tests in test_render_json.py
@@ -217,4 +224,6 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_representative": sim.semantic_dedup_representative_sql(
             threshold=0.4, n_centroids=16),
         "ivf_assign": sim.ivf_assign_sql(),
+        "pq_encode": sim.pq_encode_sql(),
+        "pq_topk": sim.pq_topk_sql([1, 2, 3, 4, 5], 5),
     }

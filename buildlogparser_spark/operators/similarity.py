@@ -893,3 +893,332 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
 WHERE {portable_round_sql(dot, 9)} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search", public TPAMI paper) — the memory-bound ANN
+# representation at 10^12-vector scale: each unit vector is stored as m
+# small codes (here 8 × 1 byte ≈ 64× smaller than 64 float64s) and queries
+# are scored against RECONSTRUCTED vectors (ADC — asymmetric distance
+# computation) without ever touching the original embeddings.
+#
+# The subspace codebooks are trained by the SAME seeded fixed-iteration
+# deterministic k-means discipline as the IVF coarse quantizer — but in
+# L2 over raw subvectors (plain means, no normalization: dot(q, x) equals
+# the SUM of subspace dots, so quantizing each subspace for L2
+# reconstruction error directly bounds the ADC dot error). One training
+# chain covers ALL m subspaces at once (the group key is (sub, cid)), so
+# cost does not multiply by m. Everything is 9-dp portable-rounded with
+# vec_id-ordered folds: the DuckDB twins are full value oracles.
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(embeddings: DataFrame, m: int, dim: int) -> DataFrame:
+    """(vec_id, sub, svec): the m per-subspace slices of each unit vector."""
+    sub_d = dim // m
+    return (with_unit_vectors(embeddings)
+            .select("vec_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+                    F.col("unit"))
+            .select("vec_id", "sub",
+                    F.slice("unit", F.col("sub") * sub_d + 1,
+                            F.lit(sub_d)).alias("svec")))
+
+
+def _pq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, 9-dp rounded (the assignment key)."""
+    return portable_round(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v), 9)
+
+
+def _pq_cents_row(cents: DataFrame) -> DataFrame:
+    return cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("sub", "cid", "cvec"))).alias("cb"))
+
+
+def _pq_iter(subs: DataFrame, cents: DataFrame, sub_d: int) -> DataFrame:
+    """One Lloyd iteration over ALL subspaces at once (group key (sub,
+    cid)); empty clusters re-seed per subspace at the worst-fit
+    subvectors. Same determinism discipline as :func:`_kmeans_iter` but
+    plain L2/means — no normalization."""
+    crow = _pq_cents_row(cents)
+    best = F.array_min(F.transform(
+        F.filter(F.col("cb"), lambda c: c["sub"] == F.col("sub")),
+        lambda c: F.struct(_pq_dist(F.col("svec"), c["cvec"]).alias("dist"),
+                           c["cid"].alias("cid"))))
+    assigned = (
+        subs.join(F.broadcast(crow), F.lit(True))
+        .select("vec_id", "sub", "svec", best.alias("b"))
+        .select("vec_id", "sub", "svec",
+                F.col("b")["cid"].alias("cid"), F.col("b")["dist"].alias("dist")))
+    zero = F.array(*[F.lit(0.0)] * sub_d)
+    means = (
+        assigned.groupBy("sub", "cid")
+        .agg(F.count("*").alias("cnt"),
+             F.sort_array(F.collect_list(F.struct("vec_id", "svec"))).alias("ms"))
+        .select("sub", "cid",
+                F.transform(
+                    F.aggregate(F.transform("ms", lambda s: s["svec"]), zero,
+                                lambda acc, u: F.zip_with(acc, u, lambda a, b: a + b)),
+                    lambda x: portable_round(x / F.col("cnt"), 9)).alias("nvec")))
+    # explicit aliases on the re-seed join: empty's and worst's `sub`
+    # attributes can trace to the same lineage (cents after iteration 1
+    # derives from `assigned` too), and Spark then resolves `sub == sub`
+    # trivially true — which would pair subspace A's empty slots with
+    # subspace B's worst-fit vectors
+    empty = (cents.join(means.select("sub", "cid"), ["sub", "cid"], "left_anti")
+             .select(F.col("sub").alias("e_sub"), "cid",
+                     F.row_number().over(
+                         Window.partitionBy("sub").orderBy("cid")).alias("en")))
+    worst = assigned.select(
+        F.col("sub").alias("w_sub"), "svec",
+        F.row_number().over(
+            Window.partitionBy("sub")
+            .orderBy(F.desc("dist"), F.asc("vec_id"))).alias("wn"))
+    reseed = (empty.join(worst, (F.col("en") == F.col("wn"))
+                         & (F.col("e_sub") == F.col("w_sub")))
+              .select(F.col("e_sub").alias("sub"), "cid",
+                      F.col("svec").alias("rvec")))
+    return (cents.join(means, ["sub", "cid"], "left")
+            .join(reseed, ["sub", "cid"], "left")
+            .select("sub", "cid",
+                    F.coalesce("nvec", "rvec", "cvec").alias("cvec")))
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
+                 dim: int = 64, n_iters: int = 2, sample_mod: int = 1,
+                 snapshot_key: str | None = None) -> DataFrame:
+    """(sub, cid, cvec[dim/m]): per-subspace PQ codebooks — deterministic
+    Forgy seeds (md5-ranked sample subvectors per subspace) + ``n_iters``
+    Lloyd rounds in one (sub, cid)-keyed chain. ``sample_mod`` bounds
+    training cost at corpus scale exactly as in :func:`kmeans_centroids`;
+    corpora smaller than k get min(k, n) centroids per subspace."""
+    sub_d = dim // m
+    subs = _pq_subvectors(embeddings, m, dim)
+    if sample_mod > 1:
+        keep = _md5_i64(F.concat(F.lit("pq"), F.col("vec_id").cast("string")))
+        subs = subs.filter(keep % sample_mod == 0)
+    from ..materialize import materialize
+
+    skey = (f"pqsample:{snapshot_key}:{m}:{sample_mod}:{dim}"
+            if snapshot_key else None)
+    subs = materialize(subs, key=skey)
+    rank = Window.partitionBy("sub").orderBy(
+        _md5_i64(F.concat(F.lit("pqseed"), F.col("sub").cast("string"),
+                          F.lit(":"), F.col("vec_id").cast("string"))),
+        "vec_id")
+    cents = (subs.withColumn("rn", F.row_number().over(rank))
+             .filter(F.col("rn") <= k)
+             .select("sub", (F.col("rn") - 1).cast("int").alias("cid"),
+                     F.col("svec").alias("cvec")))
+    for _ in range(n_iters):
+        cents = _pq_iter(subs, cents, sub_d)
+    ckey = (f"pqcents:{snapshot_key}:{m}:{k}:{dim}:{n_iters}:{sample_mod}"
+            if snapshot_key else None)
+    return materialize(cents, key=ckey)
+
+
+def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 16, dim: int = 64,
+              n_iters: int = 2, sample_mod: int = 1,
+              snapshot_key: str | None = None) -> DataFrame:
+    """(vec_id, sub, code): each vector's per-subspace nearest-codebook
+    assignment — the PQ compressed representation, flat (one row per
+    subspace: arrays stringify differently across engines, the flat form
+    value-hashes identically; production packs the m codes into bytes).
+    One pass over the corpus; the codebook rides a 1-row broadcast."""
+    cents = pq_codebooks(embeddings, m, k, dim, n_iters, sample_mod,
+                         snapshot_key)
+    crow = _pq_cents_row(cents)
+    best = F.array_min(F.transform(
+        F.filter(F.col("cb"), lambda c: c["sub"] == F.col("sub")),
+        lambda c: F.struct(_pq_dist(F.col("svec"), c["cvec"]).alias("dist"),
+                           c["cid"].alias("cid"))))
+    return (_pq_subvectors(embeddings, m, dim)
+            .join(F.broadcast(crow), F.lit(True))
+            .select("vec_id", "sub", best["cid"].alias("code")))
+
+
+def pq_topk(embeddings: DataFrame, query_ids: list[int], k_results: int = 5,
+            m: int = 8, k: int = 16, dim: int = 64, n_iters: int = 2,
+            sample_mod: int = 1, snapshot_key: str | None = None) -> DataFrame:
+    """(query_id, neighbor_id, adc_sim): approximate top-k by ADC — the
+    query's EXACT unit subvectors dotted against each candidate's
+    RECONSTRUCTED subvectors (codebook rows keyed by the candidate's
+    codes), summed over subspaces. The original embeddings are never read
+    at query time: scoring touches only the codes table and the tiny
+    codebook — the representation that fits 10^12 vectors in executor
+    memory. Approximate (recall floor pytest-asserted vs cosine_topk);
+    production composes this with the IVF lists (scan nprobe lists' codes
+    only) — here the full codes table is scanned so the oracle covers the
+    whole scoring path."""
+    sub_d = dim // m
+    codes = pq_encode(embeddings, m, k, dim, n_iters, sample_mod, snapshot_key)
+    cents = pq_codebooks(embeddings, m, k, dim, n_iters, sample_mod,
+                         snapshot_key)
+    queries = (with_unit_vectors(embeddings)
+               .filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("query_id"), F.col("unit")))
+    partial = (
+        codes.join(F.broadcast(cents),
+                   (codes["sub"] == cents["sub"]) & (codes["code"] == cents["cid"]))
+        .select("vec_id", codes["sub"].alias("sub"), "cvec")
+        .join(F.broadcast(queries), F.lit(True))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "sub",
+                portable_round(
+                    _dot(F.slice("unit", F.col("sub") * sub_d + 1, F.lit(sub_d)),
+                         F.col("cvec")), 9).alias("p")))
+    # the m partials are summed by a sub-ordered SEQUENTIAL fold, not
+    # F.sum — hash-agg addition order is engine/layout-dependent and the
+    # last bit of an 8-term float sum must not depend on it (the same
+    # discipline as every other cross-engine float fold in this repo)
+    scored = (partial.groupBy("query_id", "vec_id")
+              .agg(portable_round(
+                  F.aggregate(
+                      F.transform(
+                          F.sort_array(F.collect_list(F.struct("sub", "p"))),
+                          lambda s: s["p"]),
+                      F.lit(0.0), lambda acc, v: acc + v), 9).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k_results)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    portable_round(F.col("adc"), 4).alias("adc_sim")))
+
+
+def _pq_dist_sql(a: str, b: str, sub_d: int) -> str:
+    d = (f"list_reduce(list_transform(range(1, {sub_d + 1}), "
+         f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x, y) -> x + y)")
+    return portable_round_sql(d, 9)
+
+
+def _pq_chain_sql(m: int, k: int, dim: int, n_iters: int, sample_mod: int,
+                  table: str) -> str:
+    """Shared CTE chain ending in ``pqcents(sub, cid, cvec)`` and
+    ``subs(vec_id, sub, svec)`` — the DuckDB replay of
+    :func:`pq_codebooks`' training (Forgy seeds + n_iters Lloyd rounds in
+    one (sub, cid)-keyed chain, vec_id-ordered folds, 9-dp rounding)."""
+    sub_d = dim // m
+    where = ""
+    if sample_mod > 1:
+        keep = _md5_i64_sql("'pq' || CAST(vec_id AS VARCHAR)")
+        where = f"WHERE ({keep}) % {sample_mod} = 0"
+    seed = _md5_i64_sql(
+        "'pqseed' || CAST(sub AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        _UNITV_SQL.format(table=table),
+        f"""allsubs AS MATERIALIZED (
+  SELECT vec_id, s.sub,
+         list_slice(unit, s.sub * {sub_d} + 1, s.sub * {sub_d} + {sub_d}) AS svec
+  FROM unitv, (SELECT unnest(range(0, {m})) AS sub) s)""",
+        f"subs AS MATERIALIZED (SELECT * FROM allsubs {where})",
+        f"""pk0 AS (
+  SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, svec AS cvec
+  FROM (SELECT sub, svec,
+               row_number() OVER (PARTITION BY sub ORDER BY {seed}, vec_id) AS rn
+        FROM subs) r
+  WHERE rn <= {k})""",
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"pk{i - 1}"
+        dist = _pq_dist_sql("s.svec", "c.cvec", sub_d)
+        parts.append(f"""pa{i} AS (
+  SELECT s.vec_id, s.sub, s.svec, c.cid, {dist} AS dist,
+         row_number() OVER (PARTITION BY s.vec_id, s.sub
+                            ORDER BY {dist}, c.cid) AS rk
+  FROM subs s JOIN {prev} c ON c.sub = s.sub)""")
+        parts.append(f"""pg{i} AS (
+  SELECT sub, cid, count(*) AS cnt, list(svec ORDER BY vec_id) AS us
+  FROM pa{i} WHERE rk = 1 GROUP BY sub, cid)""")
+        parts.append(f"""pm{i} AS (
+  SELECT sub, cid,
+         list_transform(
+           list_reduce(us, (a, b) -> list_transform(range(1, {sub_d + 1}), j -> a[j] + b[j])),
+           x -> {portable_round_sql('x / cnt', 9)}) AS nvec
+  FROM pg{i})""")
+        parts.append(f"""pe{i} AS (
+  SELECT p.sub, p.cid, row_number() OVER (PARTITION BY p.sub ORDER BY p.cid) AS en
+  FROM {prev} p LEFT JOIN pg{i} g ON p.sub = g.sub AND p.cid = g.cid
+  WHERE g.cid IS NULL)""")
+        parts.append(f"""pw{i} AS (
+  SELECT sub, svec, row_number() OVER (PARTITION BY sub
+                                       ORDER BY dist DESC, vec_id) AS wn
+  FROM pa{i} WHERE rk = 1)""")
+        parts.append(f"""pr{i} AS (
+  SELECT e.sub, e.cid, w.svec AS rvec
+  FROM pe{i} e JOIN pw{i} w ON w.sub = e.sub AND e.en = w.wn)""")
+        parts.append(f"""pk{i} AS (
+  SELECT p.sub, p.cid, coalesce(m.nvec, r.rvec, p.cvec) AS cvec
+  FROM {prev} p
+  LEFT JOIN pm{i} m ON p.sub = m.sub AND p.cid = m.cid
+  LEFT JOIN pr{i} r ON p.sub = r.sub AND p.cid = r.cid)""")
+    parts.append(f"pqcents AS MATERIALIZED (SELECT sub, cid, cvec FROM pk{n_iters})")
+    return ",\n".join(parts)
+
+
+def _pq_codes_sql(m: int, dim: int) -> str:
+    """``pqcodes(vec_id, sub, code)`` from allsubs × pqcents (the FULL
+    corpus is encoded even when training sampled)."""
+    sub_d = dim // m
+    dist = _pq_dist_sql("s.svec", "c.cvec", sub_d)
+    return f"""penc AS (
+  SELECT s.vec_id, s.sub, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.sub
+                            ORDER BY {dist}, c.cid) AS rk
+  FROM allsubs s JOIN pqcents c ON c.sub = s.sub),
+pqcodes AS MATERIALIZED (
+  SELECT vec_id, sub, CAST(cid AS INTEGER) AS code FROM penc WHERE rk = 1)"""
+
+
+def pq_codebooks_sql(m: int = 8, k: int = 16, dim: int = 64, n_iters: int = 2,
+                     sample_mod: int = 1, table: str = "embeddings") -> str:
+    return f"""
+WITH {_pq_chain_sql(m, k, dim, n_iters, sample_mod, table)}
+SELECT sub, cid, cvec FROM pqcents
+"""
+
+
+def pq_encode_sql(m: int = 8, k: int = 16, dim: int = 64, n_iters: int = 2,
+                  sample_mod: int = 1, table: str = "embeddings") -> str:
+    return f"""
+WITH {_pq_chain_sql(m, k, dim, n_iters, sample_mod, table)},
+{_pq_codes_sql(m, dim)}
+SELECT vec_id, sub, code FROM pqcodes
+"""
+
+
+def pq_topk_sql(query_ids: list[int], k_results: int = 5, m: int = 8,
+                k: int = 16, dim: int = 64, n_iters: int = 2,
+                sample_mod: int = 1, table: str = "embeddings") -> str:
+    sub_d = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    qdot = _DOT_SQL.format(
+        a=f"list_slice(q.unit, p.sub * {sub_d} + 1, p.sub * {sub_d} + {sub_d})",
+        b="p.cvec")
+    return f"""
+WITH {_pq_chain_sql(m, k, dim, n_iters, sample_mod, table)},
+{_pq_codes_sql(m, dim)},
+q AS (SELECT vec_id AS query_id, unit FROM unitv WHERE vec_id IN ({ids})),
+parts AS (
+  SELECT q.query_id, e.vec_id, e.sub,
+         {portable_round_sql(qdot, 9)} AS p
+  FROM pqcodes e
+  JOIN pqcents p ON p.sub = e.sub AND p.cid = e.code
+  CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+scored AS (
+  SELECT query_id, vec_id,
+         {portable_round_sql(
+             "list_reduce(list(p ORDER BY sub), (x, y) -> x + y)", 9)} AS adc
+  FROM parts GROUP BY query_id, vec_id),
+ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, vec_id) AS rk
+  FROM scored)
+SELECT query_id, vec_id AS neighbor_id,
+       {portable_round_sql('adc', 4)} AS adc_sim
+FROM ranked WHERE rk <= {k_results}
+"""

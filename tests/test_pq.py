@@ -1,0 +1,62 @@
+"""Product quantization (round 5): cross-engine parity of the trained
+codebooks, the code assignments, and the ADC top-k; plus the quality
+floor (ADC recall vs exact cosine) and the compression contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from buildlogparser_spark.operators import similarity as sim
+from conftest import SF_SMOKE, assert_frames_match, duck_df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_pq_codebooks_match_duckdb(spark, emb, duck_smoke):
+    got = {(r.sub, r.cid): list(r.cvec)
+           for r in sim.pq_codebooks(emb, snapshot_key="pqtest").collect()}
+    want = {(int(r["sub"]), int(r["cid"])): list(r["cvec"])
+            for _, r in duck_df(duck_smoke, sim.pq_codebooks_sql()).iterrows()}
+    assert set(got) == set(want)
+    assert len(got) == 8 * 16
+    for key in got:
+        assert got[key] == want[key], f"codebook {key} diverged"
+    # subspace centroids have sub-vector width, not full width
+    assert all(len(v) == 8 for v in got.values())
+
+
+def test_pq_encode_matches_duckdb(spark, emb, duck_smoke):
+    codes = sim.pq_encode(emb, snapshot_key="pqtest")
+    assert_frames_match(codes, duck_df(duck_smoke, sim.pq_encode_sql()),
+                        "pq_encode")
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8  # m codes per vector — the 64x
+    # compressed representation (8 small ints vs 64 float64s)
+
+
+def test_pq_topk_matches_duckdb_and_recalls(spark, emb, duck_smoke):
+    qids = [1, 2, 3, 4, 5]
+    topk = sim.pq_topk(emb, qids, 5, snapshot_key="pqtest")
+    assert_frames_match(topk, duck_df(duck_smoke, sim.pq_topk_sql(qids, 5)),
+                        "pq_topk")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, qids, 5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in topk.collect()}
+    recall = len(exact & got) / len(exact)
+    # ADC with 8x16 codebooks on 64-dim embeddings: a loose floor — the
+    # point of the assertion is "far better than chance", not a tuned SLA
+    # (chance at k=5 of 500 is ~0.01)
+    assert recall >= 0.2, f"ADC recall {recall:.2f} below floor"
+
+
+def test_pq_sampled_training_encodes_everything(spark, emb, duck_smoke):
+    """sample_mod bounds TRAINING only — the full corpus still gets codes,
+    and the sampled chain stays oracle-exact."""
+    codes = sim.pq_encode(emb, sample_mod=4, snapshot_key="pqtest")
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    assert_frames_match(
+        codes, duck_df(duck_smoke, sim.pq_encode_sql(sample_mod=4)),
+        "pq_encode_sampled")
