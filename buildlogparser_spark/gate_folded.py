@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), snapshot_key=sf),
         "pq_topk": lambda spark, sf: sim.pq_topk(
             _emb(spark, sf), [1, 2, 3, 4, 5], 5, snapshot_key=sf),
+        # IVF-PQ composition (FAISS-style): probe nprobe lists, ADC-score
+        # only those candidates
+        "ivfpq_topk": lambda spark, sf: sim.ivfpq_topk(
+            _emb(spark, sf), [1, 2, 3, 4, 5], 5, snapshot_key=sf),
         # ---- folded rows-only (sketches / engine-specific formats) --------
         # accuracy bounded vs exact in tests/test_checkpoint_metrics.py /
         # test_trainingdata_ops.py; contract tests in test_render_json.py
@@ -226,4 +230,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": sim.ivf_assign_sql(),
         "pq_encode": sim.pq_encode_sql(),
         "pq_topk": sim.pq_topk_sql([1, 2, 3, 4, 5], 5),
+        "ivfpq_topk": sim.ivfpq_topk_sql([1, 2, 3, 4, 5], 5),
     }

@@ -495,24 +495,7 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     crow = _cents_row(_cents_df(embeddings, n_centroids, dim, trained,
                                 n_iters, sample_mod, snapshot_key))
 
-    probe_sims = F.transform(F.col("cents"), lambda c: F.struct(
-        portable_round(_dot(F.col("unit"), c["cvec"]), 9).alias("sim"),
-        c["cid"].alias("cid")))
-    # top-nprobe centroids per query: reverse-sort the (sim, cid) structs —
-    # struct order sorts sim asc then cid asc, so the reverse is sim desc,
-    # cid desc; to match the SQL row_number (sim desc, cid ASC) flip the cid
-    # sign inside the sort key
-    keyed = F.transform(
-        probe_sims, lambda s: F.struct(s["sim"].alias("sim"),
-                                       (-s["cid"]).alias("negcid"),
-                                       s["cid"].alias("cid")))
-    probes = F.slice(F.reverse(F.array_sort(keyed)), 1, nprobe)
-    queries = (
-        base.filter(F.col("vec_id").isin(query_ids))
-        .join(F.broadcast(crow), F.lit(True))
-        .select(F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"),
-                F.explode(F.transform(probes, lambda s: s["cid"])).alias("cluster"))
-    )
+    queries = _probe_queries(base, crow, query_ids, nprobe)
     cands = (
         corpus.join(F.broadcast(queries), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -527,6 +510,29 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
                 portable_round(F.col("sim"), 4).alias("cos_sim"))
+    )
+
+
+def _probe_queries(base: DataFrame, crow: DataFrame, query_ids: list[int],
+                   nprobe: int) -> DataFrame:
+    """(query_id, q_unit, cluster): each query exploded to its nprobe
+    nearest centroid lists. Top-nprobe centroids per query: reverse-sort
+    the (sim, cid) structs — struct order sorts sim asc then cid asc, so
+    the reverse is sim desc, cid desc; to match the SQL row_number
+    (sim desc, cid ASC) flip the cid sign inside the sort key."""
+    probe_sims = F.transform(F.col("cents"), lambda c: F.struct(
+        portable_round(_dot(F.col("unit"), c["cvec"]), 9).alias("sim"),
+        c["cid"].alias("cid")))
+    keyed = F.transform(
+        probe_sims, lambda s: F.struct(s["sim"].alias("sim"),
+                                       (-s["cid"]).alias("negcid"),
+                                       s["cid"].alias("cid")))
+    probes = F.slice(F.reverse(F.array_sort(keyed)), 1, nprobe)
+    return (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .join(F.broadcast(crow), F.lit(True))
+        .select(F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"),
+                F.explode(F.transform(probes, lambda s: s["cid"])).alias("cluster"))
     )
 
 
@@ -1095,11 +1101,13 @@ def _pq_dist_sql(a: str, b: str, sub_d: int) -> str:
 
 
 def _pq_chain_sql(m: int, k: int, dim: int, n_iters: int, sample_mod: int,
-                  table: str) -> str:
+                  table: str, with_unitv: bool = True) -> str:
     """Shared CTE chain ending in ``pqcents(sub, cid, cvec)`` and
     ``subs(vec_id, sub, svec)`` — the DuckDB replay of
     :func:`pq_codebooks`' training (Forgy seeds + n_iters Lloyd rounds in
-    one (sub, cid)-keyed chain, vec_id-ordered folds, 9-dp rounding)."""
+    one (sub, cid)-keyed chain, vec_id-ordered folds, 9-dp rounding).
+    ``with_unitv=False`` composes after a prelude that already defined
+    the ``unitv`` CTE (the IVF-PQ twin)."""
     sub_d = dim // m
     where = ""
     if sample_mod > 1:
@@ -1107,8 +1115,7 @@ def _pq_chain_sql(m: int, k: int, dim: int, n_iters: int, sample_mod: int,
         where = f"WHERE ({keep}) % {sample_mod} = 0"
     seed = _md5_i64_sql(
         "'pqseed' || CAST(sub AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")
-    parts = [
-        _UNITV_SQL.format(table=table),
+    parts = ([_UNITV_SQL.format(table=table)] if with_unitv else []) + [
         f"""allsubs AS MATERIALIZED (
   SELECT vec_id, s.sub,
          list_slice(unit, s.sub * {sub_d} + 1, s.sub * {sub_d} + {sub_d}) AS svec
@@ -1212,6 +1219,110 @@ scored AS (
   SELECT query_id, vec_id,
          {portable_round_sql(
              "list_reduce(list(p ORDER BY sub), (x, y) -> x + y)", 9)} AS adc
+  FROM parts GROUP BY query_id, vec_id),
+ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, vec_id) AS rk
+  FROM scored)
+SELECT query_id, vec_id AS neighbor_id,
+       {portable_round_sql('adc', 4)} AS adc_sim
+FROM ranked WHERE rk <= {k_results}
+"""
+
+
+def ivfpq_topk(embeddings: DataFrame, query_ids: list[int],
+               k_results: int = 5, n_centroids: int | None = 16,
+               nprobe: int = 4, m: int = 8, k: int = 16, dim: int = 64,
+               trained: bool = True, n_iters: int = 3, pq_iters: int = 2,
+               sample_mod: int = 1,
+               snapshot_key: str | None = None) -> DataFrame:
+    """IVF-PQ — the production web-scale ANN architecture (Jégou et al.
+    2011 §V; what FAISS's IVFPQ index computes): the trained IVF coarse
+    quantizer restricts each query to its ``nprobe`` nearest lists, and
+    the candidates in those lists are scored by ADC against the PQ
+    codebooks — so query cost is (corpus × nprobe / n_centroids) code
+    lookups and the hot path touches neither the original embeddings nor
+    lists the query did not probe. Composes :func:`ivf_assign` +
+    :func:`pq_encode`; deterministic end-to-end, full DuckDB oracle.
+
+    Output (query_id, neighbor_id, adc_sim) — approximate on two axes
+    (list pruning + quantized scores); pytest bounds recall vs exact."""
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(embeddings)
+    sub_d = dim // m
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    corpus = _assigned_corpus(embeddings, n_centroids, dim, snapshot_key,
+                              trained, n_iters, sample_mod)
+    crow = _cents_row(_cents_df(embeddings, n_centroids, dim, trained,
+                                n_iters, sample_mod, snapshot_key))
+    queries = _probe_queries(base, crow, query_ids, nprobe)
+    cands = (
+        corpus.select("vec_id", "cluster")
+        .join(F.broadcast(queries), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q_unit"))
+    codes = pq_encode(embeddings, m, k, dim, pq_iters, sample_mod,
+                      snapshot_key)
+    cents = pq_codebooks(embeddings, m, k, dim, pq_iters, sample_mod,
+                         snapshot_key)
+    cvecs = (codes.join(F.broadcast(cents),
+                        (codes["sub"] == cents["sub"])
+                        & (codes["code"] == cents["cid"]))
+             .select("vec_id", codes["sub"].alias("sub"), "cvec"))
+    partial = (
+        cands.join(cvecs, "vec_id")
+        .select("query_id", "vec_id", "sub",
+                portable_round(
+                    _dot(F.slice("q_unit", F.col("sub") * sub_d + 1,
+                                 F.lit(sub_d)),
+                         F.col("cvec")), 9).alias("p")))
+    scored = (partial.groupBy("query_id", "vec_id")
+              .agg(portable_round(
+                  F.aggregate(
+                      F.transform(
+                          F.sort_array(F.collect_list(F.struct("sub", "p"))),
+                          lambda s: s["p"]),
+                      F.lit(0.0), lambda acc, v: acc + v), 9).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k_results)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    portable_round(F.col("adc"), 4).alias("adc_sim")))
+
+
+def ivfpq_topk_sql(query_ids: list[int], k_results: int = 5,
+                   n_centroids: int = 16, nprobe: int = 4, m: int = 8,
+                   k: int = 16, dim: int = 64, trained: bool = True,
+                   n_iters: int = 3, pq_iters: int = 2, sample_mod: int = 1,
+                   table: str = "embeddings") -> str:
+    """DuckDB twin: the IVF prelude (shared ``unitv`` + coarse k-means +
+    csim) composed with the PQ training chain (``with_unitv=False``) —
+    probe lists from csim, candidates from the rank-1 assignment, ADC from
+    the code/codebook joins with the same sub-ordered fold."""
+    sub_d = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    qdot = _DOT_SQL.format(
+        a=f"list_slice(p.q_unit, e.sub * {sub_d} + 1, e.sub * {sub_d} + {sub_d})",
+        b="c.cvec")
+    return f"""
+WITH {_ivf_prelude_sql(n_centroids, dim, trained, n_iters, sample_mod, table)},
+assigned AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM csim WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, unit AS q_unit, cid AS cluster
+  FROM csim WHERE vec_id IN ({ids}) AND rk <= {nprobe}),
+{_pq_chain_sql(m, k, dim, pq_iters, sample_mod, table, with_unitv=False)},
+{_pq_codes_sql(m, dim)},
+parts AS (
+  SELECT p.query_id, a.vec_id, e.sub, {portable_round_sql(qdot, 9)} AS pp
+  FROM probes p
+  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+  JOIN pqcodes e ON e.vec_id = a.vec_id
+  JOIN pqcents c ON c.sub = e.sub AND c.cid = e.code),
+scored AS (
+  SELECT query_id, vec_id,
+         {portable_round_sql(
+             "list_reduce(list(pp ORDER BY sub), (x, y) -> x + y)", 9)} AS adc
   FROM parts GROUP BY query_id, vec_id),
 ranked AS (
   SELECT query_id, vec_id, adc,

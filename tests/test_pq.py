@@ -60,3 +60,28 @@ def test_pq_sampled_training_encodes_everything(spark, emb, duck_smoke):
     assert_frames_match(
         codes, duck_df(duck_smoke, sim.pq_encode_sql(sample_mod=4)),
         "pq_encode_sampled")
+
+
+def test_ivfpq_topk_matches_duckdb_and_prunes(spark, emb, duck_smoke):
+    """IVF-PQ composition: cross-engine parity, candidate pruning (every
+    reported neighbor lies in a probed list), and recall no worse than
+    chance by a wide margin."""
+    qids = [1, 2, 3, 4, 5]
+    topk = sim.ivfpq_topk(emb, qids, 5, snapshot_key="pqtest")
+    assert_frames_match(
+        topk, duck_df(duck_smoke, sim.ivfpq_topk_sql(qids, 5)), "ivfpq_topk")
+
+    got = {(r.query_id, r.neighbor_id) for r in topk.collect()}
+    # pruning contract: neighbors come only from probed lists — the IVF
+    # stage really restricted the ADC scan (compare with unpruned pq_topk)
+    assign = {r.vec_id: r.cluster for r in sim.ivf_assign(
+        emb, 16, snapshot_key="pqtest").collect()}
+    probed: dict[int, set[int]] = {}
+    full = sim.ivfpq_topk(emb, qids, 10_000, nprobe=4, snapshot_key="pqtest")
+    for r in full.collect():
+        probed.setdefault(r.query_id, set()).add(assign[r.neighbor_id])
+    assert all(len(cl) <= 4 for cl in probed.values()), probed
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, qids, 5).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.12, f"IVF-PQ recall {recall:.2f} below floor"
