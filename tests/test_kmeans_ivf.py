@@ -186,3 +186,33 @@ def test_semantic_dedup_representative_vs_aggressive(spark):
         docs, threshold=0.5, n_centroids=1, dim=dim, trained=False).collect()}
     assert agg == {0: True, 1: True, 2: False}
     assert rep == {0: True, 1: False, 2: False}
+
+
+def test_kmeans_empty_cluster_reseed_parity(spark, duck_smoke):
+    """Duplicate-heavy corpus: identical vectors seed IDENTICAL centroids,
+    ties send every member to the lowest cid and the duplicates' clusters
+    EMPTY — forcing the worst-fit re-seed path in both engines. The
+    assertion is bit-parity of the final centroids (the re-seed rank joins
+    must pair the same empty slot with the same vector in both)."""
+    dim = 8
+    a, b = _unit([1.0] * dim), _unit([-1.0] + [1.0] * (dim - 1))
+    rows = [Row(vec_id=i, embedding=(a if i < 8 else b), label=0)
+            for i in range(16)]
+    docs = spark.createDataFrame(rows)
+    # DOUBLE[], not FLOAT[]: Spark infers double for Python floats in
+    # createDataFrame, and a float32 round-trip on one side flips the
+    # last ulp of 1/sqrt(8)
+    duck_smoke.execute(
+        "CREATE OR REPLACE TEMP TABLE emb_dup(vec_id BIGINT, embedding DOUBLE[])")
+    duck_smoke.executemany(
+        "INSERT INTO emb_dup VALUES (?, ?)",
+        [(i, a if i < 8 else b) for i in range(16)])
+    got = {r.cid: list(r.cvec)
+           for r in sim.kmeans_centroids(docs, 6, dim=dim, n_iters=3).collect()}
+    want = {int(r["cid"]): list(r["cvec"]) for _, r in duck_df(
+        duck_smoke,
+        sim.kmeans_centroids_sql(6, dim=dim, n_iters=3, table="emb_dup")
+    ).iterrows()}
+    assert set(got) == set(want) == set(range(6))
+    for cid in got:
+        assert got[cid] == want[cid], f"centroid {cid} diverged post-reseed"

@@ -85,3 +85,39 @@ def test_ivfpq_topk_matches_duckdb_and_prunes(spark, emb, duck_smoke):
              for r in sim.cosine_topk(emb, qids, 5).collect()}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.12, f"IVF-PQ recall {recall:.2f} below floor"
+
+
+def test_pq_empty_cluster_reseed_parity(spark, duck_smoke):
+    """Duplicate-heavy corpus forces empty PQ clusters (identical seed
+    centroids, ties to the lowest cid) — the per-subspace worst-fit
+    re-seed join must pair the same (sub, slot) with the same vector in
+    both engines: bit-parity of the final codebooks."""
+    import math
+
+    from pyspark.sql import Row
+
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    a = unit([1.0] * dim)
+    b = unit([-1.0, 2.0] * (dim // 2))
+    rows = [Row(vec_id=i, embedding=(a if i < 10 else b), label=0)
+            for i in range(20)]
+    docs = spark.createDataFrame(rows)
+    duck_smoke.execute(
+        "CREATE OR REPLACE TEMP TABLE emb_pqdup(vec_id BIGINT, embedding DOUBLE[])")
+    duck_smoke.executemany(
+        "INSERT INTO emb_pqdup VALUES (?, ?)",
+        [(i, a if i < 10 else b) for i in range(20)])
+    got = {(r.sub, r.cid): list(r.cvec) for r in sim.pq_codebooks(
+        docs, m=4, k=6, dim=dim, n_iters=3).collect()}
+    want = {(int(r["sub"]), int(r["cid"])): list(r["cvec"])
+            for _, r in duck_df(duck_smoke, sim.pq_codebooks_sql(
+                m=4, k=6, dim=dim, n_iters=3, table="emb_pqdup")).iterrows()}
+    assert set(got) == set(want)
+    assert len(got) == 4 * 6
+    for key in got:
+        assert got[key] == want[key], f"codebook {key} diverged post-reseed"
