@@ -17,12 +17,17 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 46 entries (43 oracled + 3 rows-only): the r04
+* ``queries()`` is 54 entries (51 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
-  r04 sweep ran clean with 5×-cheaper oracles (VERDICT r04 #1). Every
-  remaining twin/sibling query stays in
+  r04 sweep ran clean with 5×-cheaper oracles (VERDICT r04 #1), then a
+  continuation session promoted eight more (lsh_dedup_keep,
+  decontaminate, corpus_sample, sequence_pack_plan, source_mix_weights,
+  pq_topk, ivfpq_topk, semantic_dedup_representative) after
+  materializing the twice-consumed k-means assignment CTEs cut the
+  PQ/IVF oracle chains 4-15× (every added oracle ≤~0.8 s at sf0.01,
+  ~+3 s total sweep exposure). Every remaining twin/sibling query stays in
   ``buildlogparser_spark/gate_folded.py`` where ``tests/test_gate_folded.py``
   runs the SAME Spark-vs-DuckDB value compare the driver does — nothing
   lost but the scoreboard row.
@@ -119,7 +124,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """46 entries: 43 DuckDB-oracled, then 3 rows-only (their Python workers
+    """54 entries: 51 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -189,6 +194,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample → redact)
         "curation_pipeline": lambda spark, sf: cur.curation_pipeline(
             _docs(spark, sf), snapshot_key=sf),
+        # --- round-5 continuation promotions (oracled; were gate-folded —
+        #     materializing the twice-consumed k-means assignment CTEs cut
+        #     the PQ/IVF oracle chains 4-15×, so these now fit the sweep's
+        #     ≤~1 s-per-oracle budget measured at sf0.01) -------------------
+        # first-seen LSH dedup verdict (batch twin of the streaming op)
+        "lsh_dedup_keep": lambda spark, sf: dd.lsh_dedup_keep(
+            _docs(spark, sf), snapshot_key=sf),
+        # benchmark decontamination (broadcast bench shingles, hash-agg)
+        "decontaminate": lambda spark, sf: cf.decontaminate(_docs(spark, sf)),
+        # deterministic stratified sampling (md5-bucket keep, growth-stable)
+        "corpus_sample": lambda spark, sf: cf.corpus_sample(_docs(spark, sf)),
+        # GPT-style concat-and-chunk batch assembly (shard-local offsets)
+        "sequence_pack_plan": lambda spark, sf: cf.sequence_pack_plan(
+            _docs(spark, sf)),
+        # DoReMi-lite uniform-target source reweighting
+        "source_mix_weights": lambda spark, sf: cf.source_mix_weights(
+            _docs(spark, sf)),
+        # product quantization ADC top-k (Jégou et al. 2011): trained
+        # per-subspace codebooks, flat codes, asymmetric-distance scoring
+        "pq_topk": lambda spark, sf: sim.pq_topk(
+            _emb(spark, sf), _ANN_QUERY_IDS, 5, snapshot_key=sf),
+        # IVF-PQ composition (FAISS-style): probe nprobe lists, ADC-score
+        # only those candidates — the production web-scale ANN shape
+        "ivfpq_topk": lambda spark, sf: sim.ivfpq_topk(
+            _emb(spark, sf), _ANN_QUERY_IDS, 5, snapshot_key=sf),
+        # paper-faithful SemDeDup keep policy (one representative per
+        # connected ε-neighborhood; the aggressive disclosed policy keeps
+        # the semantic_dedup row above)
+        "semantic_dedup_representative": lambda spark, sf:
+            sim.semantic_dedup_representative(
+                _emb(spark, sf), threshold=0.4, n_centroids=16,
+                snapshot_key=sf),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -312,6 +349,15 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": sim.semantic_dedup_sql(threshold=0.4, n_centroids=16),
         "ivf_topk": sim.ivf_topk_sql(_ANN_QUERY_IDS, k=5, n_centroids=16),
         "curation_pipeline": cur.curation_pipeline_sql(),
+        "lsh_dedup_keep": dd.lsh_dedup_keep_sql(),
+        "decontaminate": cf.decontaminate_sql(),
+        "corpus_sample": cf.corpus_sample_sql(),
+        "sequence_pack_plan": cf.sequence_pack_plan_sql(),
+        "source_mix_weights": cf.source_mix_weights_sql(),
+        "pq_topk": sim.pq_topk_sql(_ANN_QUERY_IDS, 5),
+        "ivfpq_topk": sim.ivfpq_topk_sql(_ANN_QUERY_IDS, 5),
+        "semantic_dedup_representative": sim.semantic_dedup_representative_sql(
+            threshold=0.4, n_centroids=16),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,

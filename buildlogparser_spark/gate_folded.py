@@ -7,8 +7,12 @@ ENOMEM with >120 GB free — see the __spark_entry__ docstring); three rounds
 of evidence show the sweep wedges ~3-4 minutes in and stops recording
 entirely after ~50 queries. The graded sweep was therefore consolidated to
 the 40 highest-signal entries (VERDICT r03 #1); round 5 promoted the six
-flagship LLM ops back into the graded sweep (46 entries — VERDICT r04 #1)
-after r04's sweep ran clean. Every remaining twin/sibling
+flagship LLM ops back into the graded sweep (VERDICT r04 #1) after r04's
+sweep ran clean, then eight more (lsh_dedup_keep, decontaminate,
+corpus_sample, sequence_pack_plan, source_mix_weights, pq_topk,
+ivfpq_topk, semantic_dedup_representative) once MATERIALIZED k-means
+assignment CTEs made their oracles sweep-cheap — 54 graded entries.
+Every remaining twin/sibling
 query lives HERE: same Spark callable, same DuckDB oracle SQL, compared
 value-for-value by ``tests/test_gate_folded.py`` through the identical
 normalize-sort-compare the driver uses — nothing lost but the scoreboard
@@ -103,10 +107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), snapshot_key=sf),
         # fingerprint stage of the graded simhash_near_pairs
         "simhash": lambda spark, sf: dd.simhash(_docs(spark, sf)),
-        # candidate-level first-seen dedup verdict (round 5 — batch twin of
-        # streaming.neardup.stream_neardup_filter)
-        "lsh_dedup_keep": lambda spark, sf: dd.lsh_dedup_keep(
-            _docs(spark, sf), snapshot_key=sf),
         # textstats siblings (graded: lang_id / token_count / quality_score)
         "doc_fingerprint": lambda spark, sf: ts.fingerprint(_docs(spark, sf)),
         "doc_language_profile": lambda spark, sf: ts.doc_language_profile(
@@ -123,11 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled exact recall oracle of the graded embedding similarity path
         "embedding_near_dup_exact_sample": lambda spark, sf: sim.embedding_near_dup(
             _emb(spark, sf).filter(F.col("vec_id") % 5 == 0), threshold=0.4),
-        # corpus-curation filters (round 4 additions; round 5 promoted
-        # pii_redact / repetition_stats / bigram_lm_score / semantic_dedup /
-        # ivf_topk / curation_pipeline into the graded sweep — VERDICT r04 #1)
-        "decontaminate": lambda spark, sf: cf.decontaminate(_docs(spark, sf)),
-        "corpus_sample": lambda spark, sf: cf.corpus_sample(_docs(spark, sf)),
         # cross-document duplicated n-gram detection (Lee et al. 2022 at
         # n-gram granularity; graded siblings: lsh_candidates /
         # near_dup_components carry the dedup gate rows)
@@ -135,37 +130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)),
         "boilerplate_stats": lambda spark, sf: cf.boilerplate_stats(
             _docs(spark, sf), snapshot_key=sf),
-        # training-batch assembly + mixing accounting (graded sibling:
-        # curated_corpus carries the curation gate row)
-        "sequence_pack_plan": lambda spark, sf: cf.sequence_pack_plan(
-            _docs(spark, sf)),
-        # realistic token budget (GPT-2 pre-tokenizer BPE estimate — round 5)
+        # realistic token budget (GPT-2 pre-tokenizer BPE estimate — round 5;
+        # graded sibling: sequence_pack_plan carries the packing gate row)
         "sequence_pack_plan_bpe": lambda spark, sf: cf.sequence_pack_plan(
             _docs(spark, sf), tokenizer="bpe"),
-        "source_mix_weights": lambda spark, sf: cf.source_mix_weights(
-            _docs(spark, sf)),
-        # paper-faithful SemDeDup keep policy (one representative per
-        # connected ε-neighborhood — round 5, ADVICE r04 #1; the graded
-        # semantic_dedup row keeps the aggressive disclosed policy)
-        "semantic_dedup_representative": lambda spark, sf:
-            sim.semantic_dedup_representative(_emb(spark, sf), threshold=0.4,
-                                              n_centroids=16, snapshot_key=sf),
         # IVF assignment stage of the graded ivf_topk / semantic_dedup rows
         # (same trained quantizer + snapshot key, so all three share one
         # k-means training and one assignment snapshot per session)
         "ivf_assign": lambda spark, sf: sim.ivf_assign(
             _emb(spark, sf), n_centroids=16, snapshot_key=sf),
-        # product quantization (round 5): flat per-subspace codes + ADC
-        # top-k — the memory-bound ANN representation; codebook bit-parity
-        # pinned in tests/test_pq.py
+        # product quantization code stage (round 5): codebook bit-parity
+        # pinned in tests/test_pq.py; graded siblings: pq_topk / ivfpq_topk
         "pq_encode": lambda spark, sf: sim.pq_encode(
             _emb(spark, sf), snapshot_key=sf),
-        "pq_topk": lambda spark, sf: sim.pq_topk(
-            _emb(spark, sf), [1, 2, 3, 4, 5], 5, snapshot_key=sf),
-        # IVF-PQ composition (FAISS-style): probe nprobe lists, ADC-score
-        # only those candidates
-        "ivfpq_topk": lambda spark, sf: sim.ivfpq_topk(
-            _emb(spark, sf), [1, 2, 3, 4, 5], 5, snapshot_key=sf),
         # ---- folded rows-only (sketches / engine-specific formats) --------
         # accuracy bounded vs exact in tests/test_checkpoint_metrics.py /
         # test_trainingdata_ops.py; contract tests in test_render_json.py
@@ -206,7 +183,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": dd.minhash_signatures_flat_sql(),
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs_sql(),
         "simhash": dd.simhash_sql(),
-        "lsh_dedup_keep": dd.lsh_dedup_keep_sql(),
         "doc_fingerprint": ts.fingerprint_sql(),
         "doc_language_profile": ts.doc_language_profile_sql(),
         "media_assets": (
@@ -218,17 +194,9 @@ def oracle_sql() -> dict[str, str]:
             + mm.frame_sample_sql() + ") f"),
         "embedding_near_dup_exact_sample": sim.embedding_near_dup_sql(
             threshold=0.4, where_sql="WHERE vec_id % 5 = 0"),
-        "decontaminate": cf.decontaminate_sql(),
-        "corpus_sample": cf.corpus_sample_sql(),
         "boilerplate_ngrams": cf.boilerplate_ngrams_sql(),
         "boilerplate_stats": cf.boilerplate_stats_sql(),
-        "sequence_pack_plan": cf.sequence_pack_plan_sql(),
         "sequence_pack_plan_bpe": cf.sequence_pack_plan_sql(tokenizer="bpe"),
-        "source_mix_weights": cf.source_mix_weights_sql(),
-        "semantic_dedup_representative": sim.semantic_dedup_representative_sql(
-            threshold=0.4, n_centroids=16),
         "ivf_assign": sim.ivf_assign_sql(),
         "pq_encode": sim.pq_encode_sql(),
-        "pq_topk": sim.pq_topk_sql([1, 2, 3, 4, 5], 5),
-        "ivfpq_topk": sim.ivfpq_topk_sql([1, 2, 3, 4, 5], 5),
     }

@@ -752,7 +752,10 @@ def _kmeans_cents_sql(n_centroids: int, dim: int, n_iters: int,
     for i in range(1, n_iters + 1):
         prev = f"k{i - 1}"
         dot = _DOT_SQL.format(a="s.unit", b="k.cvec")
-        parts.append(f"""a{i} AS (
+        # MATERIALIZED: a{{i}} feeds both g{{i}} (means) and w{{i}} (re-seed
+        # worst-fit) — without it DuckDB inlines the samp×k distance join
+        # twice per Lloyd round (the r04 5× oracle lesson, same fix)
+        parts.append(f"""a{i} AS MATERIALIZED (
   SELECT s.vec_id, s.unit, k.cid, {portable_round_sql(dot, 9)} AS sim,
          row_number() OVER (PARTITION BY s.vec_id
                             ORDER BY {portable_round_sql(dot, 9)} DESC, k.cid) AS rk
@@ -1131,7 +1134,9 @@ def _pq_chain_sql(m: int, k: int, dim: int, n_iters: int, sample_mod: int,
     for i in range(1, n_iters + 1):
         prev = f"pk{i - 1}"
         dist = _pq_dist_sql("s.svec", "c.cvec", sub_d)
-        parts.append(f"""pa{i} AS (
+        # MATERIALIZED for the same two-consumer reason as a{{i}} above
+        # (pg{{i}} + pw{{i}} both read pa{{i}}): 4.4x on the pq_topk oracle
+        parts.append(f"""pa{i} AS MATERIALIZED (
   SELECT s.vec_id, s.sub, s.svec, c.cid, {dist} AS dist,
          row_number() OVER (PARTITION BY s.vec_id, s.sub
                             ORDER BY {dist}, c.cid) AS rk
