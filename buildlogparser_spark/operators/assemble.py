@@ -140,13 +140,7 @@ def parse_stateful_flat(
     arrays stringify differently across engines anyway; the
     (n_related, related_joined) form value-hashes identically (same pattern
     as :func:`compile_blocks_flat`)."""
-    return parse_stateful(transcripts, rules_factory).select(
-        "conv_id", "start_turn_idx",
-        "file", "line", "column", "severity", "message",
-        F.size("related_messages").cast("long").alias("n_related"),
-        F.concat_ws("\n", "related_messages").alias("related_joined"),
-        "source", "category", "raw", "build_target",
-    )
+    return _flat_projection(parse_stateful(transcripts, rules_factory))
 
 
 # ---------------------------------------------------------------------------

@@ -362,8 +362,11 @@ def sequence_pack_plan(documents: DataFrame, seq_len: int = 128,
     words — the realistic accounting for pretraining sequence budgets."""
     if tokenizer == "bpe":
         n = bpe_token_estimate(F.col("text"))
-    else:
+    elif tokenizer == "whitespace":
         n = F.size(tokens(F.col("text"))).cast("long")
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}; "
+                         "expected 'whitespace' or 'bpe'")
     shard = (_md5_i64(F.concat(F.lit("pack"), F.col("doc_id").cast("string")))
              % n_shards).cast("int")
     base = documents.select("doc_id", shard.alias("shard"), n.alias("n_tokens"))
@@ -389,8 +392,11 @@ def sequence_pack_plan_sql(table: str = "documents", seq_len: int = 128,
                            tokenizer: str = "whitespace") -> str:
     if tokenizer == "bpe":
         n_sql = bpe_tokens_sql("text")
-    else:
+    elif tokenizer == "whitespace":
         n_sql = f"CAST(len({TOKENS_SQL.format(c='text')}) AS BIGINT)"
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}; "
+                         "expected 'whitespace' or 'bpe'")
     shard = _md5_i64_sql("'pack' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH base AS (

@@ -92,10 +92,14 @@ def bpe_tokens_sql(c: str) -> str:
     .format template: the regex's ``\\p{L}`` braces would collide with
     str.format placeholders)."""
     return (
+        # The coalesce exists ONLY for the empty-piece-list case (DuckDB
+        # list_sum([]) is NULL where Spark's aggregate seed makes it 0); a
+        # NULL input must stay NULL to match Spark's NULL-in-NULL-out.
+        f"CASE WHEN {c} IS NULL THEN NULL ELSE "
         "CAST(coalesce(list_sum(list_transform("
         f"regexp_extract_all({c}, '{_BPE_RE_SQL}'), "
         f"p -> (length(p) + {BPE_CHARS_PER_PIECE - 1}) // {BPE_CHARS_PER_PIECE}"
-        ")), 0) AS BIGINT)"
+        ")), 0) AS BIGINT) END"
     )
 
 

@@ -1123,7 +1123,10 @@ def _pq_chain_sql(m: int, k: int, dim: int, n_iters: int, sample_mod: int,
   SELECT vec_id, s.sub,
          list_slice(unit, s.sub * {sub_d} + 1, s.sub * {sub_d} + {sub_d}) AS svec
   FROM unitv, (SELECT unnest(range(0, {m})) AS sub) s)""",
-        f"subs AS MATERIALIZED (SELECT * FROM allsubs {where})",
+        # sample_mod == 1 means subs IS allsubs — a plain alias, or the
+        # MATERIALIZED would hold a second full copy of the subvector table
+        (f"subs AS MATERIALIZED (SELECT * FROM allsubs {where})"
+         if sample_mod > 1 else "subs AS (SELECT * FROM allsubs)"),
         f"""pk0 AS (
   SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, svec AS cvec
   FROM (SELECT sub, svec,

@@ -7,6 +7,7 @@ growth stability, and the Gopher repetition fractions."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from buildlogparser_spark.operators import corpus_filters as cf
@@ -265,6 +266,9 @@ def test_bpe_token_estimate_fixture(spark, duck_smoke):
         # whitespace class makes both engines call it "other": pieces
         # ["a", "\x0b\x0b", " b"] → 3
         ("a\x0b\x0b b", 3),
+        # NULL-in-NULL-out: Spark's aggregate over a NULL pieces array is
+        # NULL; the SQL twin's CASE guard must match (not coalesce to 0)
+        (None, None),
     ]
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, (t, _) in enumerate(cases)])
@@ -275,7 +279,8 @@ def test_bpe_token_estimate_fixture(spark, duck_smoke):
     duck_smoke.execute("CREATE OR REPLACE TEMP TABLE bpe_fix(doc_id INT, text VARCHAR)")
     duck_smoke.executemany("INSERT INTO bpe_fix VALUES (?, ?)",
                            [(i, t) for i, (t, _) in enumerate(cases)])
-    duck = {int(r[0]): int(r[1]) for r in duck_smoke.execute(
+    duck = {int(r[0]): (None if r[1] is None else int(r[1]))
+            for r in duck_smoke.execute(
         f"SELECT doc_id, {bpe_tokens_sql('text')} FROM bpe_fix"
     ).fetchall()}
     assert duck == got
@@ -290,3 +295,13 @@ def test_sequence_pack_plan_bpe_budget(spark):
     by_start = sorted(plan.values(), key=lambda r: r.start_tok)
     assert {r.n_tokens for r in plan.values()} == {6, 3}
     assert by_start[1].start_tok == by_start[0].n_tokens
+
+
+def test_sequence_pack_plan_rejects_unknown_tokenizer(spark):
+    """A typo'd tokenizer name must raise, not silently fall through to
+    whitespace counting (both the DataFrame op and its SQL twin)."""
+    docs = _docs(spark, [("a b", "en")])
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        cf.sequence_pack_plan(docs, tokenizer="gpt2")
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        cf.sequence_pack_plan_sql(tokenizer="gpt2")
