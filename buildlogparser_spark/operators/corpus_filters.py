@@ -464,7 +464,10 @@ FROM per_src
 
 
 def repetition_stats_sql(table: str = "documents") -> str:
-    toks = TOKENS_SQL.format(c="text")
+    # coalesce: Spark's join-back already makes a NULL-text doc a 0-token
+    # doc; without it DuckDB's len(NULL) left n_tokens NULL (and the NULL
+    # floated the whole pandas column, mismatching every row's stringify)
+    toks = TOKENS_SQL.format(c="coalesce(text, '')")
     return f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, {toks} AS toks FROM {table}

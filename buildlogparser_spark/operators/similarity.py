@@ -44,12 +44,20 @@ def _norm(a: Column) -> Column:
 def with_unit_vectors(embeddings: DataFrame) -> DataFrame:
     """Add a float64 L2-normalized copy of the embedding (cosine → dot).
 
+    Rows with a NULL embedding are DROPPED here — the single entry point
+    every similarity operator shares — rather than flowing NULL subvectors
+    into k-means/ADC where each engine's NULL-in-struct ordering diverges
+    (a NULL row in the PQ training set flipped the trained codebooks
+    between Spark and DuckDB). Zero vectors stay: their unit copy is the
+    zero vector itself, deterministic in both engines.
+
     The norm is let-bound via a single-element ``transform`` so the
     normalizing division references a bound O(1) lambda variable — the
     naive ``transform(vec, v -> v / norm(vec))`` re-evaluates the whole
     norm fold per element (O(dim²); harmless at dim 64, wrong at
     production embedding widths). Same defense as
     :func:`~.dedup.shingles`."""
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
 
     def build(v: Column) -> Column:
@@ -180,7 +188,8 @@ def cosine_topk_sql(query_ids: list[int], k: int = 5,
     dot = _DOT_SQL.format(a="u.unit", b="q.q_unit")
     return f"""
 WITH vec AS (
-  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v FROM {table}
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM {table} WHERE embedding IS NOT NULL
 ),
 unitv AS (
   SELECT vec_id,
@@ -806,7 +815,8 @@ def _ivf_prelude_sql(n_centroids: int, dim: int, trained: bool,
 
 _UNITV_SQL = """
 vec AS (
-  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v FROM {table}
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM {table} WHERE embedding IS NOT NULL
 ),
 unitv AS (
   SELECT vec_id,
@@ -888,7 +898,8 @@ def embedding_near_dup_sql(threshold: float = 0.4,
     dot = _DOT_SQL.format(a="a.unit", b="b.unit")
     return f"""
 WITH vec AS (
-  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v FROM {table} {where_sql}
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM (SELECT * FROM {table} WHERE embedding IS NOT NULL) t0 {where_sql}
 ),
 unitv AS (
   SELECT vec_id,

@@ -65,8 +65,14 @@ def token_count(documents: DataFrame) -> DataFrame:
 
 def quality_score(documents: DataFrame) -> DataFrame:
     """(doc_id, …ratios…, quality): length/punctuation/stopword heuristics,
-    each a rounded double; quality = gated composite in [0, 1]."""
-    text = F.col("text")
+    each a rounded double; quality = gated composite in [0, 1].
+
+    NULL text scores as the empty document (everything 0) — without the
+    coalesce, NULL rode each engine's NULL-skipping ``least`` differently
+    (Spark composed the already-coalesced stop ratio where the SQL twin
+    re-derived it raw: 0.7 vs 1.0), and the Spark result additionally
+    depended on the session's ANSI mode via size(NULL)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
     toks = tokens(text)
     n_chars = F.length(text)
     n_toks = F.size(toks)
@@ -176,11 +182,12 @@ def quality_score_sql(table: str = "documents") -> str:
     stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
     return f"""
 WITH base AS (
+  -- NULL text scores as the empty document, matching quality_score()
   SELECT doc_id,
          length(text) AS n_chars,
          {_TOKS} AS toks,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
-  FROM {table}
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM {table}) t
 ), ratios AS (
   SELECT doc_id, n_chars, len(toks) AS n_toks, n_punct,
          len(list_filter(toks, t -> list_contains([{stop}], t))) AS stop_hits,
