@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 54 entries (51 oracled + 3 rows-only): the r04
+* ``queries()`` is 56 entries (53 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -62,6 +62,7 @@ from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import lm_score as lm
 from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
+from buildlogparser_spark.operators import sft
 from buildlogparser_spark.operators import route as rt
 from buildlogparser_spark.operators import similarity as sim
 from buildlogparser_spark.operators import textstats as ts
@@ -124,7 +125,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """54 entries: 51 DuckDB-oracled, then 3 rows-only (their Python workers
+    """56 entries: 53 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -226,6 +227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sim.semantic_dedup_representative(
                 _emb(spark, sf), threshold=0.4, n_centroids=16,
                 snapshot_key=sf),
+        # chat → instruction-tuning pairs: collapse same-role runs
+        # (gaps-and-islands), emit adjacent user→assistant segments with
+        # BPE-estimate budgets for downstream packing
+        "sft_pairs": lambda spark, sf: sft.sft_pairs(
+            load_transcripts(spark, sf)),
+        # tf-idf keyword extraction (smoothed idf; top-3 per doc)
+        "tfidf_top_terms": lambda spark, sf: ts.tfidf_top_terms(
+            _docs(spark, sf), snapshot_key=sf),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -358,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": sim.ivfpq_topk_sql(_ANN_QUERY_IDS, 5),
         "semantic_dedup_representative": sim.semantic_dedup_representative_sql(
             threshold=0.4, n_centroids=16),
+        "sft_pairs": sft.sft_pairs_sql(TRANSCRIPT_SQL),
+        "tfidf_top_terms": ts.tfidf_top_terms_sql(),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,

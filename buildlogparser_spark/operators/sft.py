@@ -1,0 +1,126 @@
+"""Instruction-tuning pair extraction from conversation transcripts.
+
+The canonical chat→SFT transform (public recipe across InstructGPT-style
+pipelines, Ouyang et al. 2022; the OpenAssistant / chat-template data
+preps): within each conversation, collapse runs of consecutive same-role
+turns into one segment (a user often sends several messages before the
+assistant answers), then emit every adjacent (user-segment →
+assistant-segment) pair as one training example, with BPE-estimate token
+counts so downstream packing (:func:`~.corpus_filters.sequence_pack_plan`)
+can budget the pairs realistically.
+
+Scale shape (10^12 turns): one ``row_number`` window partitioned by
+(conv_id, role) for the gaps-and-islands run id, one hash-agg to collapse
+segments (the per-segment text fold is a sorted in-group array, bounded by
+segment length, never a whole-conversation window), one ``lead`` window
+partitioned by conv_id over the already-collapsed segments (≤ #turns
+rows). Everything is conversation-partitioned — no corpus-global order,
+no skew beyond a hot conversation, which the same salting/chunking
+machinery as assembly handles upstream.
+
+Determinism: segment text is folded via ``sort_array(collect_list(
+struct(turn_idx, text)))`` — struct order sorts on turn_idx first, which
+is unique within (conv, role-run) — NOT an ordered collect_list (Spark
+does not guarantee aggregation order); the DuckDB twin uses
+``string_agg(... ORDER BY turn_idx)``.
+
+Reference analog: none (the reference is a diagnostics parser); this is
+the training-data-pipeline layer the driver brief asks for over the
+transcript payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import bpe_token_estimate, bpe_tokens_sql
+
+
+def sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, prompt_turn_idx, response_turn_idx, prompt, response,
+    n_prompt_bpe, n_response_bpe): adjacent user→assistant segment pairs.
+
+    ``prompt_turn_idx`` / ``response_turn_idx`` are the first turn_idx of
+    each collapsed segment; segment texts join their turns with ``\\n``.
+    system/tool segments break adjacency by design — a user turn answered
+    only after a tool interjection is NOT emitted as a pair (the
+    interjection would silently vanish from the training example).
+    """
+    run_w = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    runs = transcripts.select(
+        "conv_id", "turn_idx", "role", "text",
+        (F.col("turn_idx") - F.row_number().over(run_w)).alias("grp"),
+    )
+    segs = (
+        runs.groupBy("conv_id", "role", "grp")
+        .agg(
+            F.min("turn_idx").alias("seg_start"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("seg_text"),
+        )
+    )
+    seg_w = Window.partitionBy("conv_id").orderBy("seg_start")
+    paired = segs.select(
+        "conv_id",
+        "role",
+        "seg_start",
+        "seg_text",
+        F.lead("role").over(seg_w).alias("next_role"),
+        F.lead("seg_start").over(seg_w).alias("next_start"),
+        F.lead("seg_text").over(seg_w).alias("next_text"),
+    )
+    return (
+        paired.filter((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+        .select(
+            "conv_id",
+            F.col("seg_start").alias("prompt_turn_idx"),
+            F.col("next_start").alias("response_turn_idx"),
+            F.col("seg_text").alias("prompt"),
+            F.col("next_text").alias("response"),
+            bpe_token_estimate(F.col("seg_text")).alias("n_prompt_bpe"),
+            bpe_token_estimate(F.col("next_text")).alias("n_response_bpe"),
+        )
+    )
+
+
+def sft_pairs_sql(transcript_sql: str) -> str:
+    """DuckDB twin: identical islands/collapse/lead chain; segment text via
+    ``string_agg(text, chr(10) ORDER BY turn_idx)`` (DuckDB's ordered
+    aggregate — the portable stand-in for the sorted-struct fold)."""
+    return f"""
+WITH t AS MATERIALIZED ({transcript_sql}),
+runs AS (
+  SELECT conv_id, turn_idx, role, text,
+         turn_idx - row_number() OVER (
+             PARTITION BY conv_id, role ORDER BY turn_idx) AS grp
+  FROM t
+),
+segs AS (
+  SELECT conv_id, role, grp,
+         min(turn_idx) AS seg_start,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS seg_text
+  FROM runs GROUP BY conv_id, role, grp
+),
+paired AS (
+  SELECT conv_id, role, seg_start, seg_text,
+         lead(role) OVER w AS next_role,
+         lead(seg_start) OVER w AS next_start,
+         lead(seg_text) OVER w AS next_text
+  FROM segs
+  WINDOW w AS (PARTITION BY conv_id ORDER BY seg_start)
+)
+SELECT conv_id,
+       seg_start AS prompt_turn_idx,
+       next_start AS response_turn_idx,
+       seg_text AS prompt,
+       next_text AS response,
+       {bpe_tokens_sql('seg_text')} AS n_prompt_bpe,
+       {bpe_tokens_sql('next_text')} AS n_response_bpe
+FROM paired
+WHERE role = 'user' AND next_role = 'assistant'
+"""

@@ -6,7 +6,7 @@ pipeline ops). All pure column expressions — JVM-side, shuffle-free
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..rounding import portable_round, portable_round_sql
 from .dedup import TOKENS_SQL, bpe_token_estimate, bpe_tokens_sql, tokens
@@ -235,4 +235,97 @@ SELECT l.lang_pred,
        {portable_round_sql('avg(q.quality)', 4)} AS mean_quality
 FROM l JOIN q ON l.doc_id = q.doc_id
 GROUP BY l.lang_pred
+"""
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3,
+                    snapshot_key: str | None = None) -> DataFrame:
+    """(doc_id, term, tf, doc_freq, score, rank): the top-``k`` tf-idf
+    keywords per document — the classic retrieval/indexing signal (Salton &
+    Buckley 1988; the smoothed idf is scikit-learn's public
+    ``smooth_idf`` formula ln((N+1)/(df+1)) + 1, which never zeroes or
+    divides by zero).
+
+    Scale shape (10^12 docs): explode → (doc, term) hash-agg for tf;
+    |vocab|-sized hash-agg for df; the corpus size N attaches via a
+    broadcast 1-row join (never a window over the exploded stream); tf⋈df
+    joins on term (broadcastable when the vocab fits, plain shuffle join
+    otherwise); the final top-k window partitions by doc_id and ranks at
+    most the doc's distinct-term count. Nothing corpus-global except the
+    two aggregates.
+
+    Determinism/portability: idf is 9-dp portable-rounded BEFORE the
+    multiply (Java vs DuckDB ``ln`` may differ in the last ulp — same
+    defense as :mod:`~.lm_score`), the score 6-dp after; ties rank by term
+    ascending. NULL text yields no tokens in either engine (split(NULL) is
+    NULL, exploding/unnesting a NULL list emits nothing) but still counts
+    toward N — disclosed: N is the table's row count, not the non-empty
+    count."""
+    from ..rounding import portable_round
+
+    terms = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if snapshot_key is not None:
+        # tf feeds BOTH the per-term df agg and the score join: without a
+        # snapshot Catalyst duplicates the scan+explode+agg subtree (the
+        # formatted plan showed two full parquet scans) — at corpus scale
+        # that doubles the dominant explode. Same diamond-root defense as
+        # curate.py / the banded LSH intermediates.
+        from ..materialize import materialize
+
+        tf = materialize(tf, key=f"tfidf-tf:{snapshot_key}")
+    df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = documents.agg(
+        F.count("*").alias("n_docs")).withColumn("_k", F.lit(1))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .drop("_k")
+        .withColumn(
+            "idf",
+            portable_round(
+                F.log((F.col("n_docs") + 1).cast("double")
+                      / (F.col("doc_freq") + 1)) + 1, 9))
+        .withColumn("score", portable_round(F.col("tf") * F.col("idf"), 6))
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("doc_freq").cast("long").alias("doc_freq"),
+                "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 3) -> str:
+    return f"""
+WITH terms AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq, n.n_docs,
+         {portable_round_sql(
+             'ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.doc_freq + 1)) + 1', 9)}
+           AS idf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, doc_freq,
+         {portable_round_sql('tf * idf', 6)} AS score,
+         row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY {portable_round_sql('tf * idf', 6)} DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
 """

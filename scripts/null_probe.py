@@ -27,7 +27,7 @@ DOC_QUERIES = [
     "simhash_near_pairs", "curated_corpus", "lang_id", "token_count",
     "quality_score", "pii_redact", "repetition_stats", "bigram_lm_score",
     "curation_pipeline", "lsh_dedup_keep", "decontaminate", "corpus_sample",
-    "sequence_pack_plan", "source_mix_weights",
+    "sequence_pack_plan", "source_mix_weights", "tfidf_top_terms",
 ]
 
 EMB_QUERIES = [
