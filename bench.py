@@ -44,7 +44,7 @@ from buildlogparser_spark.operators.assemble import (  # noqa: E402
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
-    curate, dedup, similarity, textstats)
+    curate, dedup, sft, similarity, textstats)
 from buildlogparser_spark.rules.table import default_stack  # noqa: E402
 
 
@@ -189,6 +189,12 @@ def main() -> None:
         timed("q17_curation_pipeline",
               lambda: curate.curation_pipeline(
                   documents, snapshot_key=sf_dir).count())
+        # late round-5 additions (outside the comparable sum): chat→SFT
+        # pair extraction over the full transcript stream, and tf-idf
+        # keyword extraction over the documents table
+        timed("q18_sft_pairs", lambda: sft.sft_pairs(transcripts).count())
+        timed("q19_tfidf_top_terms", lambda: textstats.tfidf_top_terms(
+            documents, snapshot_key=sf_dir).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
@@ -196,7 +202,8 @@ def main() -> None:
                    if q not in ("q8b_parse_stateful_chunked",
                                 "q8c_parse_stateful_auto",
                                 "q15_swiftbuild_blocks", "q16_xctest_blocks",
-                                "q17_curation_pipeline")}
+                                "q17_curation_pipeline", "q18_sft_pairs",
+                                "q19_tfidf_top_terms")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps
         # (not min-of-9 — more reps monotonically lowers the min on a noisy
