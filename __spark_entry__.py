@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 56 entries (53 oracled + 3 rows-only): the r04
+* ``queries()`` is 57 entries (54 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -58,6 +58,7 @@ from buildlogparser_spark.operators import assemble as asm
 from buildlogparser_spark.operators import corpus_filters as cf
 from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
+from buildlogparser_spark.operators import dsir
 from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import lm_score as lm
 from buildlogparser_spark.operators import multimodal as mm
@@ -125,7 +126,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """56 entries: 53 DuckDB-oracled, then 3 rows-only (their Python workers
+    """57 entries: 54 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -234,6 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_transcripts(spark, sf)),
         # tf-idf keyword extraction (smoothed idf; top-3 per doc)
         "tfidf_top_terms": lambda spark, sf: ts.tfidf_top_terms(
+            _docs(spark, sf), snapshot_key=sf),
+        # DSIR data selection (Xie et al. 2023): hashed-ngram importance
+        # log-weights against the lang='en' target sub-corpus
+        "dsir_weights": lambda spark, sf: dsir.dsir_weights(
             _docs(spark, sf), snapshot_key=sf),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
@@ -369,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, n_centroids=16),
         "sft_pairs": sft.sft_pairs_sql(TRANSCRIPT_SQL),
         "tfidf_top_terms": ts.tfidf_top_terms_sql(),
+        "dsir_weights": dsir.dsir_weights_sql(),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,
