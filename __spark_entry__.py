@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 57 entries (54 oracled + 3 rows-only): the r04
+* ``queries()`` is 58 entries (55 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -55,6 +55,7 @@ from buildlogparser_spark.transcripts import (
 from buildlogparser_spark.operators.classify import classified_sql, classify
 from buildlogparser_spark.operators import aggregate as agg
 from buildlogparser_spark.operators import assemble as asm
+from buildlogparser_spark.operators import c4
 from buildlogparser_spark.operators import corpus_filters as cf
 from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
@@ -126,7 +127,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """57 entries: 54 DuckDB-oracled, then 3 rows-only (their Python workers
+    """58 entries: 55 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -240,6 +241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # log-weights against the lang='en' target sub-corpus
         "dsir_weights": lambda spark, sf: dsir.dsir_weights(
             _docs(spark, sf), snapshot_key=sf),
+        # C4 heuristic cleaning (Raffel et al. 2020) over deterministically
+        # structure-injected docs (the soup has no lines/punctuation — the
+        # inject_pii non-vacuity lesson)
+        "c4_clean": lambda spark, sf: c4.c4_clean(
+            c4.inject_structure(_docs(spark, sf)), snapshot_key=sf),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -375,6 +381,8 @@ def oracle_sql() -> dict[str, str]:
         "sft_pairs": sft.sft_pairs_sql(TRANSCRIPT_SQL),
         "tfidf_top_terms": ts.tfidf_top_terms_sql(),
         "dsir_weights": dsir.dsir_weights_sql(),
+        "c4_clean": c4.c4_clean_sql(
+            table="(" + c4.inject_structure_sql() + ")"),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,
