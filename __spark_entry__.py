@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 58 entries (55 oracled + 3 rows-only): the r04
+* ``queries()`` is 59 entries (56 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -63,6 +63,7 @@ from buildlogparser_spark.operators import dsir
 from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import lm_score as lm
 from buildlogparser_spark.operators import multimodal as mm
+from buildlogparser_spark.operators import quality_clf as qc
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import sft
 from buildlogparser_spark.operators import route as rt
@@ -127,7 +128,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """58 entries: 55 DuckDB-oracled, then 3 rows-only (their Python workers
+    """59 entries: 56 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -246,6 +247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inject_pii non-vacuity lesson)
         "c4_clean": lambda spark, sf: c4.c4_clean(
             c4.inject_structure(_docs(spark, sf)), snapshot_key=sf),
+        # trained logistic quality classifier (Brown et al. 2020-style):
+        # zero-init fixed-iteration GD on hashed features, training
+        # replayed as chained CTEs in the oracle (kmeans precedent)
+        "quality_classifier": lambda spark, sf: qc.quality_classifier(
+            _docs(spark, sf), snapshot_key=sf),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -383,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": dsir.dsir_weights_sql(),
         "c4_clean": c4.c4_clean_sql(
             table="(" + c4.inject_structure_sql() + ")"),
+        "quality_classifier": qc.quality_classifier_sql(),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,

@@ -44,7 +44,7 @@ from buildlogparser_spark.operators.assemble import (  # noqa: E402
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
-    curate, dedup, sft, similarity, textstats)
+    c4, curate, dedup, dsir, quality_clf, sft, similarity, textstats)
 from buildlogparser_spark.rules.table import default_stack  # noqa: E402
 
 
@@ -195,6 +195,15 @@ def main() -> None:
         timed("q18_sft_pairs", lambda: sft.sft_pairs(transcripts).count())
         timed("q19_tfidf_top_terms", lambda: textstats.tfidf_top_terms(
             documents, snapshot_key=sf_dir).count())
+        # final round-5 additions (outside the comparable sum): DSIR
+        # selection weights, C4 page cleaning over structure-injected
+        # docs, and the trained logistic quality classifier
+        timed("q20_dsir_weights", lambda: dsir.dsir_weights(
+            documents, snapshot_key=sf_dir).count())
+        timed("q21_c4_clean", lambda: c4.c4_clean(
+            c4.inject_structure(documents), snapshot_key=sf_dir).count())
+        timed("q22_quality_classifier", lambda: quality_clf.quality_classifier(
+            documents, snapshot_key=sf_dir).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
@@ -203,7 +212,8 @@ def main() -> None:
                                 "q8c_parse_stateful_auto",
                                 "q15_swiftbuild_blocks", "q16_xctest_blocks",
                                 "q17_curation_pipeline", "q18_sft_pairs",
-                                "q19_tfidf_top_terms")}
+                                "q19_tfidf_top_terms", "q20_dsir_weights",
+                                "q21_c4_clean", "q22_quality_classifier")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps
         # (not min-of-9 — more reps monotonically lowers the min on a noisy
