@@ -185,8 +185,13 @@ def c4_clean_sql(table: str = "documents", min_words_per_line: int = 5,
     UNALIASED relation (bare name or parenthesized subquery) — this query
     aliases it ``d`` itself."""
     line_toks = TOKENS_SQL.format(c="line")
+    # escape quotes so the SQL twin accepts the same parameter domain as
+    # the Spark side (contains() takes any literal); empty tuple → TRUE,
+    # where the bare join previously emitted a dangling AND
     banned_sql = " AND ".join(
-        f"NOT coalesce(contains(lower(d.text), '{w}'), FALSE)" for w in banned)
+        f"NOT coalesce(contains(lower(d.text), "
+        f"'{w.replace(chr(39), chr(39) * 2)}'), FALSE)"
+        for w in banned) or "TRUE"
     return f"""
 WITH lines AS MATERIALIZED (
   -- parallel unnest of equal-length lists zips (cf. lm_score's bg CTE)

@@ -48,6 +48,18 @@ DEFAULT_BUCKETS = 1024
 DEFAULT_TARGET_SQL = "lang = 'en'"
 
 
+def _target_key(target: Column) -> str:
+    """Deterministic fingerprint of a target predicate for snapshot keys:
+    two same-session calls with DIFFERENT target Columns must not share a
+    memoized feature snapshot (is_target is baked into it — the
+    ADVICE-r04 snapshot_key contract, enforced here rather than only
+    documented). str(Column) renders the resolved expression tree, stable
+    within a session."""
+    import hashlib
+
+    return hashlib.md5(str(target).encode()).hexdigest()[:8]
+
+
 def _hashed_feature_counts(documents: DataFrame, n_buckets: int,
                            target: Column) -> DataFrame:
     """(doc_id, is_target, bucket, cnt): per-document hashed unigram+bigram
@@ -84,7 +96,9 @@ def dsir_weights(documents: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     if snapshot_key is not None:
         from ..materialize import materialize
 
-        fs = materialize(fs, key=f"dsirfeat:{snapshot_key}:{n_buckets}")
+        fs = materialize(
+            fs,
+            key=f"dsirfeat:{snapshot_key}:{n_buckets}:{_target_key(target)}")
 
     # one hash-agg fits BOTH distributions: raw total and target total
     # per bucket (is_target is constant per doc, so summing the flagged
@@ -129,20 +143,16 @@ def dsir_weights(documents: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     )
 
 
-def dsir_weights_sql(table: str = "documents",
-                     n_buckets: int = DEFAULT_BUCKETS,
-                     target_pred: str = DEFAULT_TARGET_SQL) -> str:
-    """DuckDB twin: identical hashing, identical smoothing, identical
-    9-dp-rounded ln terms, identical bucket-ordered left fold (DuckDB's
-    list_reduce seeds with the first element; Spark folds from 0.0 —
-    equal because 0.0 + x == x for every finite term here)."""
+def hashed_features_sql(table: str = "documents",
+                        n_buckets: int = DEFAULT_BUCKETS,
+                        target_pred: str = DEFAULT_TARGET_SQL) -> str:
+    """The tok/fs CTE pair — the SQL twin of
+    :func:`_hashed_feature_counts`, shared by dsir_weights_sql and
+    quality_classifier_sql exactly like the Spark sides share the
+    function (a verbatim copy in each oracle would silently
+    desynchronize on the next hashing fix)."""
     toks = TOKENS_SQL.format(c="text")
-    log_ratio = portable_round_sql(
-        f"ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_total + {n_buckets} AS DOUBLE))"
-        f" - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_total + {n_buckets} AS DOUBLE))",
-        9)
-    return f"""
-WITH tok AS MATERIALIZED (
+    return f"""tok AS MATERIALIZED (
   SELECT doc_id, ({target_pred}) AS is_target, {toks} AS toks FROM {table}
 ), fs AS MATERIALIZED (
   SELECT doc_id, is_target,
@@ -153,7 +163,22 @@ WITH tok AS MATERIALIZED (
                                          i -> toks[i] || ' ' || toks[i + 1])) AS f
     FROM tok WHERE len(toks) >= 1
   ) GROUP BY doc_id, is_target, bucket
-), dist AS MATERIALIZED (
+)"""
+
+
+def dsir_weights_sql(table: str = "documents",
+                     n_buckets: int = DEFAULT_BUCKETS,
+                     target_pred: str = DEFAULT_TARGET_SQL) -> str:
+    """DuckDB twin: identical hashing, identical smoothing, identical
+    9-dp-rounded ln terms, identical bucket-ordered left fold (DuckDB's
+    list_reduce seeds with the first element; Spark folds from 0.0 —
+    equal because 0.0 + x == x for every finite term here)."""
+    log_ratio = portable_round_sql(
+        f"ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_total + {n_buckets} AS DOUBLE))"
+        f" - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_total + {n_buckets} AS DOUBLE))",
+        9)
+    return f"""
+WITH {hashed_features_sql(table, n_buckets, target_pred)}, dist AS MATERIALIZED (
   SELECT bucket, sum(cnt) AS r_cnt,
          sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_cnt
   FROM fs GROUP BY bucket

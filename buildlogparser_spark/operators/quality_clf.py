@@ -43,9 +43,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..rounding import portable_round, portable_round_sql
 from .dedup import _md5_i64, _md5_i64_sql
-from .dsir import DEFAULT_TARGET_SQL, _hashed_feature_counts
-
-DEFAULT_BUCKETS = 1024
+from .dsir import (
+    DEFAULT_BUCKETS, DEFAULT_TARGET_SQL, _hashed_feature_counts, _target_key)
 
 
 def _sigmoid(m: Column) -> Column:
@@ -76,7 +75,9 @@ def _bin_feats(documents: DataFrame, n_buckets: int, target: Column,
     if snapshot_key is not None:
         from ..materialize import materialize
 
-        feats = materialize(feats, key=f"lrfeat:{snapshot_key}:{n_buckets}")
+        feats = materialize(
+            feats,
+            key=f"lrfeat:{snapshot_key}:{n_buckets}:{_target_key(target)}")
     return feats
 
 
@@ -132,9 +133,15 @@ def _lr_iter(samp: DataFrame, w: DataFrame, bias: DataFrame, lr: float,
               .select("k", (F.aggregate("rs", F.lit(0.0),
                                         lambda a, s: a + s["r"])
                             / F.col("n")).alias("gb")))
-    bias_new = (bias.join(b_grad, "k")
+    # LEFT join + coalesce: an EMPTY training sample (every doc hashed out
+    # by sample_mod, or an all-NULL-text corpus) yields an empty b_grad —
+    # an inner join here silently emptied bias and with it the ENTIRE
+    # result (review finding, repro'd); the zero-gradient reading keeps
+    # the model at its current state instead, in both engines.
+    bias_new = (bias.join(b_grad, "k", "left")
                 .select("k", portable_round(
-                    F.col("b") - lr * F.col("gb"), 9).alias("b")))
+                    F.col("b") - lr * F.coalesce("gb", F.lit(0.0)), 9)
+                    .alias("b")))
     return w_new, bias_new
 
 
@@ -159,8 +166,8 @@ def quality_classifier(documents: DataFrame,
     bias = spark.range(1).select(F.lit(1).alias("k"), F.lit(0.0).alias("b"))
     from ..materialize import materialize
 
-    wkey = (f"lrw:{snapshot_key}:{n_buckets}:{lr}:{sample_mod}"
-            if snapshot_key else None)
+    wkey = (f"lrw:{snapshot_key}:{n_buckets}:{lr}:{sample_mod}:"
+            f"{_target_key(target)}" if snapshot_key else None)
     for i in range(n_iters):
         w, bias = _lr_iter(samp, w, bias, lr, n_samp)
         # ALWAYS flatten the iteration chain through a tiny
@@ -202,9 +209,8 @@ def quality_classifier_sql(table: str = "documents",
     chained CTEs — same folds (ORDER BY the same unique keys), same 9-dp
     portable rounding on sigmoid and weight updates, so training is a
     full value oracle (the _kmeans_cents_sql precedent)."""
-    from .dsir import TOKENS_SQL
+    from .dsir import hashed_features_sql
 
-    toks = TOKENS_SQL.format(c="text")
     sig = portable_round_sql(
         "1.0 / (1.0 + exp(-(" + portable_round_sql("{m}", 9) + ")))", 9)
 
@@ -216,18 +222,7 @@ def quality_classifier_sql(table: str = "documents",
                 f"         {sig.format(m=m)} AS p\n"
                 f"  FROM {feats} JOIN {w} USING (bucket) GROUP BY doc_id\n)")
 
-    parts = [f"""tok AS MATERIALIZED (
-  SELECT doc_id, ({target_pred}) AS is_target, {toks} AS toks FROM {table}
-), fs AS MATERIALIZED (
-  SELECT doc_id, is_target,
-         {_md5_i64_sql('f')} % {n_buckets} AS bucket, count(*) AS cnt
-  FROM (
-    SELECT doc_id, is_target,
-           unnest(toks || list_transform(range(1, len(toks)),
-                                         i -> toks[i] || ' ' || toks[i + 1])) AS f
-    FROM tok WHERE len(toks) >= 1
-  ) GROUP BY doc_id, is_target, bucket
-), hcnt AS (
+    parts = [f"""{hashed_features_sql(table, n_buckets, target_pred)}, hcnt AS (
   SELECT doc_id AS h_doc_id, count(*) AS h FROM fs GROUP BY doc_id
 ), feats AS MATERIALIZED (
   SELECT doc_id, CASE WHEN is_target THEN 1.0 ELSE 0.0 END AS y, bucket,
@@ -256,10 +251,12 @@ def quality_classifier_sql(table: str = "documents",
          {portable_round_sql(f'{pw}.w - {lr} * coalesce(g{i}.gb, 0.0)', 9)} AS w
   FROM {pw} LEFT JOIN g{i} ON {pw}.bucket = g{i}.bucket
 ), {nb} AS (
-  SELECT {portable_round_sql(
+  -- coalesce to the previous bias: an empty sample makes the fold NULL
+  -- (zero-gradient reading, mirrors the Spark left join)
+  SELECT coalesce({portable_round_sql(
       f'(SELECT b FROM {pb}) - {lr} * '
       f'(list_reduce(list(r ORDER BY doc_id), (a, c) -> a + c)'
-      f' / (SELECT n FROM n_samp))', 9)} AS b
+      f' / (SELECT n FROM n_samp))', 9)}, (SELECT b FROM {pb})) AS b
   FROM (SELECT doc_id, p - y AS r FROM m{i})
 )""")
     wf, bf = f"w{n_iters}", f"b{n_iters}"

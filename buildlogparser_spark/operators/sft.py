@@ -103,7 +103,11 @@ runs AS (
 segs AS (
   SELECT conv_id, role, grp,
          min(turn_idx) AS seg_start,
-         string_agg(text, chr(10) ORDER BY turn_idx) AS seg_text
+         -- coalesce: a segment whose turn texts are ALL NULL is '' on the
+         -- Spark side (array_join skips null elements) but NULL from
+         -- string_agg — align on '' (review finding; unreachable from the
+         -- derived transcript corpus, reachable for the public operator)
+         coalesce(string_agg(text, chr(10) ORDER BY turn_idx), '') AS seg_text
   FROM runs GROUP BY conv_id, role, grp
 ),
 paired AS (

@@ -22,40 +22,13 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, str(REPO / "scripts"))
 from driver_sim import norm  # noqa: E402
 
-DOC_QUERIES = [
-    "dedup_exact", "lsh_candidates", "near_dup_components",
-    "simhash_near_pairs", "curated_corpus", "lang_id", "token_count",
-    "quality_score", "pii_redact", "repetition_stats", "bigram_lm_score",
-    "curation_pipeline", "lsh_dedup_keep", "decontaminate", "corpus_sample",
-    "sequence_pack_plan", "source_mix_weights", "tfidf_top_terms",
-]
-
-EMB_QUERIES = [
-    "cosine_topk", "semantic_dedup", "ivf_topk", "pq_topk", "ivfpq_topk",
-    "semantic_dedup_representative",
-]
-
-EMB_ADVERSARIAL = [
-    # NULL embedding
-    {"vec_id": 999001, "embedding": None, "label": 0},
-    # zero vector (norm 0: the unit-vector guard's branch)
-    {"vec_id": 999002, "embedding": [0.0] * 64, "label": 0},
-]
-
-ADVERSARIAL = [
-    # NULL text with otherwise-sane metadata
-    {"doc_id": 999001, "text": None, "lang": "en", "source": "web",
-     "n_chars": None},
-    # empty text
-    {"doc_id": 999002, "text": "", "lang": "en", "source": "web",
-     "n_chars": 0},
-    # everything NULL but the id
-    {"doc_id": 999003, "text": None, "lang": None, "source": None,
-     "n_chars": None},
-    # whitespace-only text
-    {"doc_id": 999004, "text": "   \n\t  ", "lang": "en", "source": "web",
-     "n_chars": 7},
-]
+# the query lists and adversarial fixtures are owned by the durable test —
+# a hand-maintained copy here drifted (it was 3 graded queries behind the
+# test within one round; review finding), so import the single source
+sys.path.insert(0, str(REPO / "tests"))
+from test_null_robustness import (  # noqa: E402
+    DOC_ADVERSARIAL as ADVERSARIAL, DOC_QUERIES, EMB_ADVERSARIAL,
+    EMB_QUERIES)
 
 
 def build_sf(src: str) -> str:

@@ -83,6 +83,35 @@ def test_duckdb_parity_with_subsampled_trainer(spark, duck_smoke):
         "quality_classifier_sample3")
 
 
+def test_empty_training_sample_keeps_every_doc(spark, duck_smoke):
+    # a sample_mod that hashes out EVERY doc (review finding: the inner
+    # bias join silently emptied the whole result in Spark while DuckDB
+    # returned NULL probs) — the zero-gradient reading must keep the
+    # untrained model: every doc present, p = sigmoid(0) = 0.5, both
+    # engines agreeing
+    import hashlib
+
+    import duckdb as _duck
+
+    doc_ids = [r[0] for r in _duck.connect().execute(
+        f"SELECT doc_id FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()]
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    mod = next(k for k in range(3, 10_000)
+               if all(h(i) % k != 0 for i in doc_ids))
+    sdf = qc.quality_classifier(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"), sample_mod=mod)
+    pdf = sdf.toPandas()
+    assert len(pdf) == len(doc_ids)
+    assert (pdf.quality_prob == 0.5).all()
+    assert_frames_match(
+        sdf, duck_df(duck_smoke, qc.quality_classifier_sql(sample_mod=mod)),
+        "quality_classifier_empty_sample")
+
+
 def test_custom_target_flips_scores(spark):
     fx = _sep_fixture(spark, n_per_class=20)
     out_de = qc.quality_classifier(

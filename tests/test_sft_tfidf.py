@@ -39,6 +39,33 @@ def test_sft_collapses_same_role_runs(spark):
     assert r.n_prompt_bpe > 0 and r.n_response_bpe > 0
 
 
+def test_sft_all_null_segment_is_empty_string_in_both_engines(spark):
+    """A segment whose turn texts are ALL NULL must read '' in BOTH
+    engines (review finding: Spark's array_join skips null elements while
+    bare string_agg returned NULL — the SQL twin now coalesces).
+    Unreachable from the derived transcript corpus; reachable for the
+    public operator."""
+    import duckdb
+
+    rows = [
+        ("c1", 0, "user", None),
+        ("c1", 1, "assistant", "ok here you go"),
+        ("c2", 0, "user", "real question"),
+        ("c2", 1, "assistant", None),
+    ]
+    t = _conv(spark, rows)
+    out = {r.conv_id: r for r in sft.sft_pairs(t).collect()}
+    assert out["c1"].prompt == "" and out["c1"].n_prompt_bpe == 0
+    assert out["c2"].response == "" and out["c2"].n_response_bpe == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE turns (conv_id VARCHAR, turn_idx BIGINT, "
+                "role VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO turns VALUES (?, ?, ?, ?)", rows)
+    duck = {r[0]: r for r in con.execute(
+        sft.sft_pairs_sql("SELECT * FROM turns")).fetchall()}
+    assert duck["c1"][3] == "" and duck["c2"][4] == ""
+
+
 def test_sft_interjection_breaks_adjacency(spark):
     """A tool (or system) segment between a user and the assistant reply
     means NO pair is emitted for that user segment — the interjection
