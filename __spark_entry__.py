@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 59 entries (56 oracled + 3 rows-only): the r04
+* ``queries()`` is 61 entries (58 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -68,6 +68,7 @@ from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import sft
 from buildlogparser_spark.operators import route as rt
 from buildlogparser_spark.operators import similarity as sim
+from buildlogparser_spark.operators import temporal as tpr
 from buildlogparser_spark.operators import textstats as ts
 from buildlogparser_spark.operators.enrich import enrich, enriched_sql
 from buildlogparser_spark.rules.table import default_stack
@@ -128,7 +129,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """59 entries: 56 DuckDB-oracled, then 3 rows-only (their Python workers
+    """61 entries: 58 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -285,6 +286,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enriched_class_counts": lambda spark, sf: enrich(_diags(spark, sf))
             .groupBy("diag_class", "tool_family", "default_severity")
             .agg(F.count("*").alias("n")),
+        # AS-OF join: time-VERSIONED registry enrich — broadcast floor-lookup
+        # plan (sorted struct array + filter/try_element_at, fact side never
+        # shuffled); big-big union-merge sibling folded (asof_enrich_merge)
+        "asof_enrich": lambda spark, sf: tpr.asof_enrich(
+            load_transcripts(spark, sf)),
+        # RANGE join: incident-window error attribution — broadcast equi-join
+        # on tool with the range as post-filter; bucketed big-big sibling
+        # folded (incident_errors_bucketed)
+        "incident_errors": lambda spark, sf: tpr.incident_errors(
+            load_transcripts(spark, sf), _diags(spark, sf)),
         # --- renders (oracled) ----------------------------------------------
         "text_render": lambda spark, sf: rnd.render_text(_diags(spark, sf)),
         # SummaryOutput's full verbose report as one aggregate-built string
@@ -450,6 +461,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT diag_class, tool_family, default_severity, count(*) AS n FROM ("
             + enriched_sql(_diag_sql(["role", "tool", "diag_class"]))
             + ") e GROUP BY diag_class, tool_family, default_severity"),
+        "asof_enrich": tpr.asof_enrich_sql(TRANSCRIPT_SQL),
+        "incident_errors": tpr.incident_errors_sql(
+            TRANSCRIPT_SQL, _diag_sql(["tool", "severity", "ts"])),
         "text_render": rnd.render_text_sql(_diag_sql(
             ["conv_id", "turn_idx", "file", "line", "severity", "message"])),
         "summary_text": rnd.summary_text_sql(

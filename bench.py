@@ -44,7 +44,7 @@ from buildlogparser_spark.operators.assemble import (  # noqa: E402
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
-    c4, curate, dedup, dsir, quality_clf, sft, similarity, textstats)
+    c4, curate, dedup, dsir, quality_clf, sft, similarity, temporal, textstats)
 from buildlogparser_spark.rules.table import default_stack  # noqa: E402
 
 
@@ -204,6 +204,13 @@ def main() -> None:
             c4.inject_structure(documents), snapshot_key=sf_dir).count())
         timed("q22_quality_classifier", lambda: quality_clf.quality_classifier(
             documents, snapshot_key=sf_dir).count())
+        # temporal joins (outside the comparable sum): as-of versioned
+        # registry enrich (broadcast floor-lookup) and incident-window
+        # range attribution (broadcast equi-join + range post-filter)
+        timed("q23_asof_enrich",
+              lambda: temporal.asof_enrich(transcripts).count())
+        timed("q24_incident_errors",
+              lambda: temporal.incident_errors(transcripts, diags).collect())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
@@ -213,7 +220,8 @@ def main() -> None:
                                 "q15_swiftbuild_blocks", "q16_xctest_blocks",
                                 "q17_curation_pipeline", "q18_sft_pairs",
                                 "q19_tfidf_top_terms", "q20_dsir_weights",
-                                "q21_c4_clean", "q22_quality_classifier")}
+                                "q21_c4_clean", "q22_quality_classifier",
+                                "q23_asof_enrich", "q24_incident_errors")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps
         # (not min-of-9 — more reps monotonically lowers the min on a noisy

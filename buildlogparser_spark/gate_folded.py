@@ -41,6 +41,7 @@ from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import similarity as sim
+from buildlogparser_spark.operators import temporal as tpr
 from buildlogparser_spark.operators import textstats as ts
 
 
@@ -143,6 +144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned in tests/test_pq.py; graded siblings: pq_topk / ivfpq_topk
         "pq_encode": lambda spark, sf: sim.pq_encode(
             _emb(spark, sf), snapshot_key=sf),
+        # big-big AS-OF plan: bucketed union-merge (graded sibling:
+        # asof_enrich carries the broadcast floor-lookup gate row)
+        "asof_enrich_merge": lambda spark, sf: tpr.asof_enrich_merge(
+            load_transcripts(spark, sf)),
+        # big-big RANGE-join plan: ts bucketed at incident duration, incident
+        # exploded to covered buckets (graded sibling: incident_errors)
+        "incident_errors_bucketed": lambda spark, sf: tpr.incident_errors_bucketed(
+            load_transcripts(spark, sf), _diags(spark, sf)),
         # ---- folded rows-only (sketches / engine-specific formats) --------
         # accuracy bounded vs exact in tests/test_checkpoint_metrics.py /
         # test_trainingdata_ops.py; contract tests in test_render_json.py
@@ -199,4 +208,9 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack_plan_bpe": cf.sequence_pack_plan_sql(tokenizer="bpe"),
         "ivf_assign": sim.ivf_assign_sql(),
         "pq_encode": sim.pq_encode_sql(),
+        # identical oracles to the graded siblings: the physical plan is the
+        # only thing that differs between the two as-of / range-join variants
+        "asof_enrich_merge": tpr.asof_enrich_sql(TRANSCRIPT_SQL),
+        "incident_errors_bucketed": tpr.incident_errors_sql(
+            TRANSCRIPT_SQL, _diag_sql(["tool", "severity", "ts"])),
     }

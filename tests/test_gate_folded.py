@@ -3,7 +3,7 @@ queries consolidated OUT of the driver's graded sweep (VERDICT r03 #1) keep
 the exact same Spark-vs-DuckDB compare here — same normalize, same
 column/row/value equality the driver hash-checks.
 
-Also asserts the graded sweep's contract: ≤60 entries, ≥53 oracled, no
+Also asserts the graded sweep's contract: ≤64 entries, ≥56 oracled, no
 overlap with the folded registry, rows-only tail last.
 """
 
@@ -21,8 +21,11 @@ FOLDED_NAMES = sorted(gate_folded.queries().keys())
 def test_graded_sweep_contract():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert len(q) <= 60, f"graded sweep has {len(q)} entries (> 60)"
-    assert len(o) >= 53, f"only {len(o)} oracled entries (< 53)"
+    # 64: the 61-entry round-5 registry (56 + sft/tfidf/dsir/c4/quality_clf
+    # + the as-of/range-join pair) with slim headroom — every addition must
+    # keep its oracle ≤~1 s at sf0.01 (the ENOMEM-exposure budget)
+    assert len(q) <= 64, f"graded sweep has {len(q)} entries (> 64)"
+    assert len(o) >= 56, f"only {len(o)} oracled entries (< 56)"
     assert set(o) <= set(q)
     # folded and graded registries are disjoint — a query lives in exactly one
     assert not set(q) & set(gate_folded.queries())
