@@ -122,14 +122,17 @@ def registry_versions(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def asof_enrich(transcripts: DataFrame) -> DataFrame:
-    """(conv_id, turn_idx, tool, ts_us, registry_version, config_rev):
-    each turn enriched with the registry version in force at its timestamp
-    (floor over valid_from_us; NULL when no version predates the turn or
-    the tool is unregistered). Broadcast floor-lookup plan — see module
-    docstring."""
+def asof_enrich_against(transcripts: DataFrame,
+                        versions: DataFrame) -> DataFrame:
+    """Broadcast floor-lookup against an explicit versioned registry
+    ``(tool, registry_version, config_rev, valid_from_us)`` — the as-of
+    core, shared by the batch query (synthesized registry) and the
+    streaming enrich (stream-static join: ``versions`` must be static,
+    ``transcripts`` may be a streaming DataFrame — everything here is a
+    static-side aggregation plus a per-row projection, both
+    streaming-legal)."""
     dim = (
-        registry_versions(transcripts)
+        versions
         .groupBy("tool")
         .agg(F.sort_array(F.collect_list(F.struct(
             "valid_from_us", "registry_version", "config_rev"))).alias("vers"))
@@ -149,6 +152,15 @@ def asof_enrich(transcripts: DataFrame) -> DataFrame:
             F.col("m")["config_rev"].alias("config_rev"),
         )
     )
+
+
+def asof_enrich(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, tool, ts_us, registry_version, config_rev):
+    each turn enriched with the registry version in force at its timestamp
+    (floor over valid_from_us; NULL when no version predates the turn or
+    the tool is unregistered). Broadcast floor-lookup plan — see module
+    docstring."""
+    return asof_enrich_against(transcripts, registry_versions(transcripts))
 
 
 def asof_enrich_merge(transcripts: DataFrame, n_buckets: int = 64) -> DataFrame:
@@ -253,7 +265,7 @@ def incident_errors(transcripts: DataFrame, diags: DataFrame) -> DataFrame:
         .groupBy("i_id").agg(F.count("*").alias("n"))
     )
     return (
-        inc.join(hits, inc["incident_id"] == hits["i_id"], "left")
+        inc.join(F.broadcast(hits), inc["incident_id"] == hits["i_id"], "left")
         .select("incident_id", "tool",
                 F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_errors"))
     )
@@ -298,7 +310,7 @@ def incident_errors_bucketed(transcripts: DataFrame,
         .groupBy("i_id").agg(F.count("*").alias("n"))
     )
     return (
-        inc.join(hits, inc["incident_id"] == hits["i_id"], "left")
+        inc.join(F.broadcast(hits), inc["incident_id"] == hits["i_id"], "left")
         .select("incident_id", "tool",
                 F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_errors"))
     )

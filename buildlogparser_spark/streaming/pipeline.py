@@ -60,6 +60,21 @@ def windowed_severity_counts(transcripts: DataFrame, window: str = "1 hour",
     )
 
 
+def stream_asof_enrich(transcripts: DataFrame,
+                       versions: DataFrame) -> DataFrame:
+    """AS-OF registry enrich on a STREAM: each incoming turn picks the
+    latest ``versions`` row (static DataFrame, e.g.
+    ``temporal.registry_versions(batch_df)`` or a real registry table) with
+    ``valid_from_us <= ts_us`` for its tool. A stream-static broadcast
+    join + array floor-pick — no state store, no watermark needed (the
+    lookup is stateless per row), so it composes with any downstream
+    streaming agg. Batch/stream parity asserted in
+    tests/test_streaming.py."""
+    from ..operators.temporal import asof_enrich_against
+
+    return asof_enrich_against(transcripts, versions)
+
+
 def stream_route(transcripts: DataFrame, root: str, checkpoint_dir: str,
                  n_salt: int = 16, ts_granularity: str = "day"):
     """foreachBatch fan-out: every micro-batch runs the batch router (same

@@ -131,3 +131,26 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     # pass a weaker either-of check
     assert 0 in got and 2 not in got
     assert len(got) == 3
+
+
+def test_stream_asof_enrich_equals_batch(spark, tr_dir):
+    """Streaming as-of registry enrich (stream-static broadcast join):
+    the multi-micro-batch streaming result must equal the batch
+    asof_enrich on the same input and the same synthesized registry —
+    including the NULL cases (unregistered tools don't occur in the
+    derived stream, but pre-lo turns can't either, so the parity here is
+    over the full 4-version spread; the NULL semantics are pinned in
+    tests/test_temporal.py)."""
+    from buildlogparser_spark.operators import temporal as tp
+    from buildlogparser_spark.streaming import stream_asof_enrich
+
+    batch_tr = spark.read.parquet(tr_dir)
+    registry = tp.registry_versions(batch_tr)
+    stream = stream_asof_enrich(
+        stream_transcripts(spark, tr_dir, max_files_per_trigger=1), registry)
+    got = _run_to_memory(spark, stream, "stream_asof", "append")
+    batch = tp.asof_enrich(batch_tr)
+    assert got.count() == batch.count()
+    assert batch.exceptAll(got).count() == 0
+    # non-vacuity: the stream saw more than one registry version
+    assert got.select("registry_version").distinct().count() > 1
