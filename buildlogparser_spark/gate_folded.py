@@ -41,6 +41,7 @@ from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import similarity as sim
+from buildlogparser_spark.operators import sketch as sk
 from buildlogparser_spark.operators import temporal as tpr
 from buildlogparser_spark.operators import textstats as ts
 
@@ -144,6 +145,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned in tests/test_pq.py; graded siblings: pq_topk / ivfpq_topk
         "pq_encode": lambda spark, sf: sim.pq_encode(
             _emb(spark, sf), snapshot_key=sf),
+        # Misra–Gries heavy-hitter templates: bounded-memory candidates +
+        # exact recount — carries a FULL oracle because its contract is
+        # exactness under the MG frequency bound, asserted in
+        # tests/test_sketch.py (graded sibling: message_templates is the
+        # full-shuffle exact formulation)
+        "heavy_hitter_templates": lambda spark, sf: sk.heavy_hitter_templates(
+            _diags(spark, sf)),
         # big-big AS-OF plan: bucketed union-merge (graded sibling:
         # asof_enrich carries the broadcast floor-lookup gate row)
         "asof_enrich_merge": lambda spark, sf: tpr.asof_enrich_merge(
@@ -208,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack_plan_bpe": cf.sequence_pack_plan_sql(tokenizer="bpe"),
         "ivf_assign": sim.ivf_assign_sql(),
         "pq_encode": sim.pq_encode_sql(),
+        "heavy_hitter_templates": sk.heavy_hitter_templates_sql(
+            _diag_sql(["message"])),
         # identical oracles to the graded siblings: the physical plan is the
         # only thing that differs between the two as-of / range-join variants
         "asof_enrich_merge": tpr.asof_enrich_sql(TRANSCRIPT_SQL),
