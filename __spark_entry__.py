@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 61 entries (58 oracled + 3 rows-only): the r04
+* ``queries()`` is 64 entries (61 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -66,6 +66,7 @@ from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import quality_clf as qc
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import sft
+from buildlogparser_spark.operators import spans
 from buildlogparser_spark.operators import route as rt
 from buildlogparser_spark.operators import similarity as sim
 from buildlogparser_spark.operators import temporal as tpr
@@ -129,7 +130,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """61 entries: 58 DuckDB-oracled, then 3 rows-only (their Python workers
+    """64 entries: 61 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -253,6 +254,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replayed as chained CTEs in the oracle (kmeans precedent)
         "quality_classifier": lambda spark, sf: qc.quality_classifier(
             _docs(spark, sf), snapshot_key=sf),
+        # ExactSubstr span-level dedup (Lee et al. 2022 §4.1): positional
+        # 5-grams hashed before the dup-count shuffle, corpus-duplicated
+        # grams semi-joined back, per-doc spans merged gaps-and-islands
+        "dup_span_removal": lambda spark, sf: spans.dup_span_removal(
+            _docs(spark, sf)),
+        # stuck-agent / retry-storm detection: maximal runs of identical
+        # (role, tool, md5(text)) turns — over deterministically
+        # loop-injected transcripts (the synthetic corpus rotates roles
+        # per turn; a bare run is vacuous parity, the inject_pii lesson)
+        "tool_call_loops": lambda spark, sf: agg.tool_call_loops(
+            agg.inject_loops(load_transcripts(spark, sf))),
+        # SFT context assembly: previous-4-turn dialogue history rendered
+        # per assistant turn (one bounded-frame window, sorted-struct fold)
+        "context_windows": lambda spark, sf: sft.context_windows(
+            load_transcripts(spark, sf)),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -401,6 +417,10 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": c4.c4_clean_sql(
             table="(" + c4.inject_structure_sql() + ")"),
         "quality_classifier": qc.quality_classifier_sql(),
+        "dup_span_removal": spans.dup_span_removal_sql(),
+        "tool_call_loops": agg.tool_call_loops_sql(
+            agg.inject_loops_sql(TRANSCRIPT_SQL)),
+        "context_windows": sft.context_windows_sql(TRANSCRIPT_SQL),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,

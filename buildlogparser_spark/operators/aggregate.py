@@ -373,3 +373,111 @@ SELECT s.conv_id,
          AS secs_to_first_error
 FROM starts s JOIN firsts f ON s.conv_id = f.conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# agent-loop detection (transcript-native log analytics)
+# ---------------------------------------------------------------------------
+
+
+def inject_loops(transcripts: DataFrame) -> DataFrame:
+    """Deterministically overwrite a consecutive turn range in every 5th
+    conversation with an identical stuck-retry turn (run length 3-5 keyed
+    on the conversation number), plus a length-2 run in every (5k+3)rd
+    conversation that a min_run=3 detector must NOT flag. Test/bench helper
+    only: the synthetic transcript rotates role/tool per turn, so a bare
+    tool_call_loops run is vacuous parity (the inject_pii lesson,
+    ADVICE r03 #4). Pure per-row CASE on (conv_id, turn_idx) — identical
+    in the SQL twin, shuffle-free."""
+    conv_no = F.substring(F.col("conv_id"), 6, 24).cast("long")
+    run_len = (conv_no % 3) + 3          # 3, 4 or 5 identical turns
+    in_loop = (
+        (conv_no % 5 == 0)
+        & (F.col("turn_idx") >= 6) & (F.col("turn_idx") < 6 + run_len))
+    in_short = (
+        (conv_no % 5 == 3)
+        & (F.col("turn_idx") >= 20) & (F.col("turn_idx") < 22))
+    stuck = in_loop | in_short
+    return transcripts.select(
+        "conv_id", "turn_idx",
+        F.when(stuck, F.lit("assistant")).otherwise(F.col("role")).alias("role"),
+        F.when(stuck, F.lit("retry: build step timed out, retrying"))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(stuck, F.lit("xcodebuild")).otherwise(F.col("tool")).alias("tool"),
+        "ts",
+    )
+
+
+def inject_loops_sql(transcripts_cte: str) -> str:
+    return f"""
+SELECT conv_id, turn_idx,
+       CASE WHEN stuck THEN 'assistant' ELSE role END AS role,
+       CASE WHEN stuck THEN 'retry: build step timed out, retrying'
+            ELSE text END AS text,
+       CASE WHEN stuck THEN 'xcodebuild' ELSE tool END AS tool,
+       ts
+FROM (
+  SELECT *,
+         (conv_no % 5 = 0 AND turn_idx >= 6
+          AND turn_idx < 6 + (conv_no % 3) + 3)
+         OR (conv_no % 5 = 3 AND turn_idx >= 20 AND turn_idx < 22) AS stuck
+  FROM (SELECT *, CAST(substr(conv_id, 6, 24) AS BIGINT) AS conv_no
+        FROM ({transcripts_cte}) t)
+)
+"""
+
+
+def tool_call_loops(transcripts: DataFrame, min_run: int = 3) -> DataFrame:
+    """(conv_id, role, tool, first_turn_idx, last_turn_idx, run_len):
+    maximal runs of >= min_run consecutive turns whose (role, tool,
+    md5(text)) fingerprint is identical — the classic stuck-agent /
+    retry-storm signature in agent-transcript telemetry.
+
+    Scale shape (10^12 turns): two row_number windows partitioned by
+    conversation (the gaps-and-islands run id — robust to turn_idx gaps)
+    + one hash-agg over (conv, key, run). Everything is
+    conversation-partitioned: no corpus-global order, and a hot
+    conversation is the same documented skew the assembly chunking
+    machinery handles upstream. Fingerprint is md5 (portable), so the
+    DuckDB twin is exact.
+
+    Reference analog: none; public pattern (run-length encoding via
+    gaps-and-islands) over the driver brief's transcript payload.
+    """
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    seq_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    key_w = Window.partitionBy("conv_id", "role", "tool", "fp").orderBy("turn_idx")
+    runs = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool", fp.alias("fp"),
+    ).withColumn(
+        "grp", F.row_number().over(seq_w) - F.row_number().over(key_w))
+    return (
+        runs.groupBy("conv_id", "role", "tool", "fp", "grp")
+        .agg(F.min("turn_idx").alias("first_turn_idx"),
+             F.max("turn_idx").alias("last_turn_idx"),
+             F.count("*").alias("run_len"))
+        .filter(F.col("run_len") >= min_run)
+        .select("conv_id", "role", "tool",
+                "first_turn_idx", "last_turn_idx", "run_len")
+    )
+
+
+def tool_call_loops_sql(transcripts_cte: str, min_run: int = 3) -> str:
+    return f"""
+WITH r AS (
+  SELECT conv_id, turn_idx, role, tool,
+         md5(coalesce(text, '')) AS fp,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, role, tool,
+                              md5(coalesce(text, ''))
+                              ORDER BY turn_idx) AS grp
+  FROM ({transcripts_cte}) t
+)
+SELECT conv_id, role, tool,
+       min(turn_idx) AS first_turn_idx,
+       max(turn_idx) AS last_turn_idx,
+       count(*) AS run_len
+FROM r
+GROUP BY conv_id, role, tool, fp, grp
+HAVING count(*) >= {min_run}
+"""

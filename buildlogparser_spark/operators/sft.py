@@ -128,3 +128,77 @@ SELECT conv_id,
 FROM paired
 WHERE role = 'user' AND next_role = 'assistant'
 """
+
+
+def context_windows(transcripts: DataFrame, k: int = 4) -> DataFrame:
+    """(conv_id, turn_idx, n_context_turns, context, target): for every
+    assistant turn, the previous up-to-k turns rendered as
+    ``role: text`` lines — the sliding-window context assembly step of an
+    SFT / preference-data prep pipeline (each assistant turn becomes a
+    training example conditioned on its recent dialogue history).
+
+    Determinism: the frame is collected as structs and sort_array'd on
+    turn_idx (unique within a conversation) before rendering —
+    collect_list's frame order is an implementation detail Spark does not
+    guarantee, so it is never relied on (the sft_pairs convention). NULL
+    turn text renders as ``role: `` (coalesce ''), and an empty frame (the
+    conversation's opening assistant turn) yields context '' with
+    n_context_turns 0 in both engines.
+
+    Scale shape (10^12 turns): ONE bounded-frame window partitioned by
+    conv_id — k struct copies per row, no hash-agg, no join, no
+    corpus-global order; context bytes are capped at k turns by
+    construction, so a hot conversation costs rows×k, not rows², and the
+    same upstream chunking/salting applies.
+    """
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(-k, -1))
+    ctx = F.sort_array(
+        F.collect_list(F.struct("turn_idx", "role", "text")).over(w))
+    rendered = F.array_join(
+        F.transform(
+            F.col("ctx"),
+            lambda s: F.concat_ws(
+                "", s["role"], F.lit(": "), F.coalesce(s["text"], F.lit("")))),
+        "\n")
+    return (
+        transcripts.select("conv_id", "turn_idx", "role", "text")
+        .withColumn("ctx", ctx)
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id", "turn_idx",
+            F.size("ctx").cast("long").alias("n_context_turns"),
+            rendered.alias("context"),
+            F.coalesce(F.col("text"), F.lit("")).alias("target"),
+        )
+    )
+
+
+def context_windows_sql(transcript_sql: str, k: int = 4) -> str:
+    """DuckDB twin: ``list(struct_pack(...))`` over the same bounded frame
+    (window aggregates over an empty frame are NULL in DuckDB where Spark
+    yields [] — coalesce aligns them), list_sort, render, join."""
+    return f"""
+WITH t AS MATERIALIZED ({transcript_sql}),
+win AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(
+           list(struct_pack(turn_idx := turn_idx, role := role,
+                            text := text))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING),
+           []) AS ctx
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(len(ctx) AS BIGINT) AS n_context_turns,
+       -- coalesce: DuckDB renders the empty-frame list as NULL where Spark's
+       -- array_join of [] is '' — align on ''
+       coalesce(array_to_string(
+         list_transform(list_sort(ctx),
+                        s -> s.role || ': ' || coalesce(s.text, '')),
+         chr(10)), '') AS context,
+       coalesce(text, '') AS target
+FROM win
+WHERE role = 'assistant'
+"""

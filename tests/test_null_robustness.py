@@ -39,7 +39,7 @@ DOC_QUERIES = [
     "quality_score", "pii_redact", "repetition_stats", "bigram_lm_score",
     "curation_pipeline", "lsh_dedup_keep", "decontaminate", "corpus_sample",
     "sequence_pack_plan", "source_mix_weights", "tfidf_top_terms",
-    "dsir_weights", "c4_clean", "quality_classifier",
+    "dsir_weights", "c4_clean", "quality_classifier", "dup_span_removal",
 ]
 
 EMB_QUERIES = [
