@@ -44,7 +44,8 @@ from buildlogparser_spark.operators.assemble import (  # noqa: E402
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
-    c4, curate, dedup, dsir, quality_clf, sft, similarity, temporal, textstats)
+    c4, curate, dedup, dsir, quality_clf, sft, similarity, spans, temporal,
+    textstats)
 from buildlogparser_spark.rules.table import default_stack  # noqa: E402
 
 
@@ -211,6 +212,16 @@ def main() -> None:
               lambda: temporal.asof_enrich(transcripts).count())
         timed("q24_incident_errors",
               lambda: temporal.incident_errors(transcripts, diags).collect())
+        # closing-session additions (outside the comparable sum):
+        # ExactSubstr span-removal plan over documents, stuck-agent loop
+        # detection over loop-injected transcripts, and SFT context-window
+        # assembly over the full transcript stream
+        timed("q25_dup_span_removal",
+              lambda: spans.dup_span_removal(documents).count())
+        timed("q26_tool_call_loops", lambda: agg.tool_call_loops(
+            agg.inject_loops(transcripts)).count())
+        timed("q27_context_windows",
+              lambda: sft.context_windows(transcripts).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
@@ -221,7 +232,9 @@ def main() -> None:
                                 "q17_curation_pipeline", "q18_sft_pairs",
                                 "q19_tfidf_top_terms", "q20_dsir_weights",
                                 "q21_c4_clean", "q22_quality_classifier",
-                                "q23_asof_enrich", "q24_incident_errors")}
+                                "q23_asof_enrich", "q24_incident_errors",
+                                "q25_dup_span_removal", "q26_tool_call_loops",
+                                "q27_context_windows")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps
         # (not min-of-9 — more reps monotonically lowers the min on a noisy
