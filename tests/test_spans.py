@@ -65,3 +65,21 @@ def test_positional_ngrams_keep_repeats(spark):
     row = df.select(
         spans.positional_ngrams(F.col("text"), 2).alias("g")).head()
     assert row.g == ["x y", "y x", "x y", "y x"]
+
+
+def test_dup_span_removal_survives_hot_document(spark):
+    """Long-document skew pin (the shingles-quadratic lesson,
+    BENCH/SKEW.md): a 50k-token fully-repetitive document — the worst
+    case for both the positional n-gram build (O(k·n) or bust) and the
+    hit volume (every position duplicated) — must complete in seconds
+    with the exact closed-form answer: one merged span covering the
+    whole document. Standalone measurement: 100k tokens 10.7 s cold
+    (codegen), 400k tokens 6.5 s warm — linear."""
+    hot = " ".join(f"w{i % 5}" for i in range(50_000))
+    docs = spark.createDataFrame(
+        [(1, hot), (2, "normal text entirely unrelated")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in spans.dup_span_removal(docs, n=5).collect()}
+    assert (out[1].n_tokens, out[1].dup_tokens,
+            out[1].n_dup_spans, out[1].dup_ratio) == (50_000, 50_000, 1, 1.0)
+    assert (out[2].dup_tokens, out[2].n_dup_spans) == (0, 0)
