@@ -42,8 +42,10 @@ from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import similarity as sim
 from buildlogparser_spark.operators import sketch as sk
+from buildlogparser_spark.operators import chunking as ch
 from buildlogparser_spark.operators import temporal as tpr
 from buildlogparser_spark.operators import textstats as ts
+from buildlogparser_spark.operators import winnow as wn
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,6 +154,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-shuffle exact formulation)
         "heavy_hitter_templates": lambda spark, sf: sk.heavy_hitter_templates(
             _diags(spark, sf)),
+        # full winnowing fingerprint selection (Schleimer et al. 2003; the
+        # graded sibling textstats row carries the 1-element-winnow gate)
+        "winnow_fingerprints": lambda spark, sf: wn.winnow_fingerprints(
+            _docs(spark, sf)),
+        # MOSS-style shared-fingerprint candidate pairs with the max_df
+        # boilerplate guard (graded dedup siblings: lsh_candidates etc.)
+        "winnow_match_pairs": lambda spark, sf: wn.winnow_match_pairs(
+            _docs(spark, sf), snapshot_key=sf),
+        # RAG/retrieval prep: overlapping character chunks
+        "doc_chunks": lambda spark, sf: ch.doc_chunks(_docs(spark, sf)),
+        # deterministic shard-local training-order shuffle (graded packing
+        # sibling: sequence_pack_plan)
+        "training_order": lambda spark, sf: cf.training_order(_docs(spark, sf)),
         # big-big AS-OF plan: bucketed union-merge (graded sibling:
         # asof_enrich carries the broadcast floor-lookup gate row)
         "asof_enrich_merge": lambda spark, sf: tpr.asof_enrich_merge(
@@ -218,6 +233,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": sim.pq_encode_sql(),
         "heavy_hitter_templates": sk.heavy_hitter_templates_sql(
             _diag_sql(["message"])),
+        "winnow_fingerprints": wn.winnow_fingerprints_sql(),
+        "winnow_match_pairs": wn.winnow_match_pairs_sql(),
+        "doc_chunks": ch.doc_chunks_sql(),
+        "training_order": cf.training_order_sql(),
         # identical oracles to the graded siblings: the physical plan is the
         # only thing that differs between the two as-of / range-join variants
         "asof_enrich_merge": tpr.asof_enrich_sql(TRANSCRIPT_SQL),

@@ -498,3 +498,48 @@ FROM sized s
 LEFT JOIN tok_top t USING (doc_id)
 LEFT JOIN bg_top b USING (doc_id)
 """
+
+
+def training_order(documents: DataFrame, n_shards: int = 8,
+                   seed: str = "train-v1") -> DataFrame:
+    """(doc_id, shard, position): a deterministic global training-order
+    shuffle — every document gets a pseudo-random shard and a position
+    within it, keyed by md5(seed:doc_id). Varying ``seed`` gives a fresh
+    independent permutation per epoch; the result is bit-stable across
+    engines, partitionings, and reruns.
+
+    Scale shape: this is the standard "shuffle 100 TB for training" step
+    done WITHOUT a corpus-global sort — shard assignment is a pure column
+    expression and the position window partitions BY SHARD, so each
+    shard's rank is computed where its rows already live after one
+    hash-shuffle on a uniform md5 key (no skew by construction). A global
+    order, if a consumer wants one, is (shard, position) — readers stream
+    shards independently, which is exactly how training jobs consume it."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string")))
+    k64 = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        documents.select(
+            "doc_id", key.alias("key"),
+            (k64 % n_shards).cast("long").alias("shard"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+    )
+
+
+def training_order_sql(table: str = "documents", n_shards: int = 8,
+                       seed: str = "train-v1") -> str:
+    key = f"md5(concat('{seed}', ':', CAST(doc_id AS VARCHAR)))"
+    return f"""
+WITH k AS (
+  SELECT doc_id, {key} AS key,
+         CAST(('0x' || substr({key}, 1, 15)) AS BIGINT) % {n_shards} AS shard
+  FROM {table}
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS BIGINT) AS position
+FROM k
+"""
