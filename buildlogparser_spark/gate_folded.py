@@ -38,6 +38,7 @@ from buildlogparser_spark.operators import assemble as asm
 from buildlogparser_spark.operators import corpus_filters as cf
 from buildlogparser_spark.operators import dedup as dd
 from buildlogparser_spark.operators import lines as ln
+from buildlogparser_spark.operators import lm_score as lm
 from buildlogparser_spark.operators import multimodal as mm
 from buildlogparser_spark.operators import render as rnd
 from buildlogparser_spark.operators import similarity as sim
@@ -167,6 +168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic shard-local training-order shuffle (graded packing
         # sibling: sequence_pack_plan)
         "training_order": lambda spark, sf: cf.training_order(_docs(spark, sf)),
+        # CCNet head/middle/tail selection (Wenzek et al. 2020): per-language
+        # perplexity terciles over the graded bigram-LM scores (graded
+        # siblings: bigram_lm_score + lang_id carry the component gate rows)
+        "ccnet_buckets": lambda spark, sf: lm.ccnet_buckets(
+            _docs(spark, sf), snapshot_key=sf),
         # big-big AS-OF plan: bucketed union-merge (graded sibling:
         # asof_enrich carries the broadcast floor-lookup gate row)
         "asof_enrich_merge": lambda spark, sf: tpr.asof_enrich_merge(
@@ -237,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_match_pairs": wn.winnow_match_pairs_sql(),
         "doc_chunks": ch.doc_chunks_sql(),
         "training_order": cf.training_order_sql(),
+        "ccnet_buckets": lm.ccnet_buckets_sql(),
         # identical oracles to the graded siblings: the physical plan is the
         # only thing that differs between the two as-of / range-join variants
         "asof_enrich_merge": tpr.asof_enrich_sql(TRANSCRIPT_SQL),

@@ -147,3 +147,99 @@ SELECT d.doc_id,
        coalesce({portable_round_sql('-p.sum_logp / p.n_bigrams', 4)}, 0.0) AS h_bits
 FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.s_doc_id
 """
+
+
+def ccnet_buckets(documents: DataFrame,
+                  snapshot_key: str | None = None) -> DataFrame:
+    """(doc_id, lang_pred, h_bits, bucket): CCNet's head/middle/tail
+    selection (Wenzek et al. 2020) — per predicted language, split the
+    corpus into perplexity terciles: the lowest-cross-entropy third is
+    'head' (keep), then 'middle', then 'tail' (drop/review). Docs with no
+    bigrams to score (``n_bigrams == 0``) are routed to 'unscored' rather
+    than silently winning the lowest-perplexity slot.
+
+    Tercile cutoffs are EXACT order statistics computed as value-histogram
+    quantiles, never a per-language sort: hash-aggregate (lang, h_bits) →
+    counts, run the cumulative window over that HISTOGRAM (bounded by
+    |langs| × distinct 4-dp scores, ≪ corpus), and pick
+    t_k = min{h : cum(h) ≥ ceil(k·n/3)} — inverse-ECDF (type-1) quantile
+    semantics, so ties on h_bits land whole in one bucket (head may
+    exceed n/3 under ties; deterministic and engine-portable, unlike
+    interpolated percentiles whose last-ulp math differs per engine).
+
+    Scale shape (10^12 docs): two corpus-sized equi-joins on doc_id
+    (scores ⋈ langs), one map-side-combinable hash-agg to the histogram,
+    a window over the histogram only, and a broadcast of the |langs|-row
+    cutoff table back onto the corpus. The dominant language's docs never
+    pass through a single partition.
+
+    Reference analog: none; driver-brief training-data op (CCNet paper's
+    selection stage over this module's bigram LM)."""
+    from pyspark.sql.window import Window
+
+    from .textstats import lang_id
+
+    scored = (
+        bigram_lm_score(documents, snapshot_key=snapshot_key)
+        .join(lang_id(documents).select("doc_id", "lang_pred"), "doc_id")
+    )
+    hist = (
+        scored.filter(F.col("n_bigrams") > 0)
+        .groupBy("lang_pred", "h_bits").agg(F.count("*").alias("c"))
+    )
+    w_cum = Window.partitionBy("lang_pred").orderBy("h_bits")
+    w_all = Window.partitionBy("lang_pred")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+    )
+    cuts = cum.groupBy("lang_pred").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 3"),
+                     F.col("h_bits"))).alias("t1"),
+        F.min(F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                     F.col("h_bits"))).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("n_bigrams") == 0, F.lit("unscored"))
+        .when(F.col("h_bits") <= F.col("t1"), F.lit("head"))
+        .when(F.col("h_bits") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang_pred", "left")
+        .select("doc_id", "lang_pred", "h_bits", bucket.alias("bucket"))
+    )
+
+
+def ccnet_buckets_sql(table: str = "documents") -> str:
+    """DuckDB twin: identical histogram-quantile cutoffs over the same
+    4-dp-rounded h_bits; integer-only ceil, no interpolated percentile."""
+    from .textstats import lang_id_sql
+
+    return f"""
+WITH scores AS MATERIALIZED ({bigram_lm_score_sql(table)}
+), langs AS MATERIALIZED ({lang_id_sql(table)}
+), scored AS MATERIALIZED (
+  SELECT s.doc_id, l.lang_pred, s.n_bigrams, s.h_bits
+  FROM scores s JOIN langs l USING (doc_id)
+), hist AS (
+  SELECT lang_pred, h_bits, count(*) AS c
+  FROM scored WHERE n_bigrams > 0 GROUP BY lang_pred, h_bits
+), cum AS (
+  SELECT lang_pred, h_bits,
+         sum(c) OVER (PARTITION BY lang_pred ORDER BY h_bits) AS cum,
+         sum(c) OVER (PARTITION BY lang_pred) AS n
+  FROM hist
+), cuts AS (
+  SELECT lang_pred,
+         min(CASE WHEN cum >= (n + 2) // 3 THEN h_bits END) AS t1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN h_bits END) AS t2
+  FROM cum GROUP BY lang_pred
+)
+SELECT sc.doc_id, sc.lang_pred, sc.h_bits,
+       CASE WHEN sc.n_bigrams = 0 THEN 'unscored'
+            WHEN sc.h_bits <= c.t1 THEN 'head'
+            WHEN sc.h_bits <= c.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored sc LEFT JOIN cuts c USING (lang_pred)
+"""

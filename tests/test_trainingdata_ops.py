@@ -465,3 +465,63 @@ def test_semantic_dedup_fixture(spark):
     # cosine(10, 13) is far below threshold → locality never dropped it
     dot = sum(a * b for a, b in zip(cents[0], far))
     assert dot / (math.hypot(*cents[0]) * math.hypot(*far)) < 0.9
+
+
+def test_ccnet_buckets_hand_fixture(spark):
+    """Pin CCNet head/middle/tail semantics (Wenzek et al. 2020) on a
+    hand-built two-language corpus: per-language inverse-ECDF tercile
+    cutoffs recomputed test-side as plain order statistics (independent of
+    the operator's histogram-window formulation), exact-tie docs landing in
+    the same bucket, and bigram-less / NULL-text docs routed to 'unscored'
+    instead of winning the lowest-perplexity slot."""
+    import math
+    from collections import defaultdict
+
+    from buildlogparser_spark.operators.lm_score import ccnet_buckets
+
+    rows = [
+        # en: 6 scored docs, docs 1-2 exact duplicates (tie on h_bits)
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the dog ran to the park and back"),
+        (4, "the the the the"),
+        (5, "is that for with the and of to"),
+        (6, "the zebra quibbles xylophone the"),
+        # fr: 3 scored docs — cutoffs independent of en's
+        (7, "le chat les chiens des le"),
+        (8, "le le le le le"),
+        (9, "des une dans pour que le les"),
+        # no bigrams / NULL text → unscored, never head
+        (10, "x"),
+        (11, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ccnet_buckets(docs).collect()}
+    assert len(got) == len(rows)
+    assert got[10].bucket == "unscored" and got[10].lang_pred == "und"
+    assert got[11].bucket == "unscored"
+
+    # independent tercile recomputation: t_k is the ceil(k*n/3)-th order
+    # statistic, which equals the operator's min{h : cum(h) >= ceil(k*n/3)}
+    by_lang = defaultdict(list)
+    for r in got.values():
+        if r.bucket != "unscored":
+            by_lang[r.lang_pred].append(r.h_bits)
+    assert set(by_lang) == {"en", "fr"}
+
+    def expect(lang, h):
+        hs = sorted(by_lang[lang])
+        n = len(hs)
+        t1 = hs[math.ceil(n / 3) - 1]
+        t2 = hs[math.ceil(2 * n / 3) - 1]
+        return "head" if h <= t1 else ("middle" if h <= t2 else "tail")
+
+    for r in got.values():
+        if r.bucket != "unscored":
+            assert r.bucket == expect(r.lang_pred, r.h_bits), r
+    # exact duplicates tie on the 4-dp score → identical bucket
+    assert got[1].h_bits == got[2].h_bits and got[1].bucket == got[2].bucket
+    # every language has a non-empty head (keep set never collapses)
+    for lang in ("en", "fr"):
+        assert any(r.bucket == "head" and r.lang_pred == lang
+                   for r in got.values())
