@@ -168,6 +168,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic shard-local training-order shuffle (graded packing
         # sibling: sequence_pack_plan)
         "training_order": lambda spark, sf: cf.training_order(_docs(spark, sf)),
+        # deterministic train/valid/test assignment (graded sibling:
+        # corpus_sample carries the md5-bucket gate row)
+        "split_assign": lambda spark, sf: cf.split_assign(_docs(spark, sf)),
+        # cross-split near-dup leakage guard: reuses the graded
+        # lsh_candidates row's banded-signature snapshot (same key)
+        "split_leakage": lambda spark, sf: cf.split_leakage(
+            _docs(spark, sf), snapshot_key=sf),
         # CCNet head/middle/tail selection (Wenzek et al. 2020): per-language
         # perplexity terciles over the graded bigram-LM scores (graded
         # siblings: bigram_lm_score + lang_id carry the component gate rows)
@@ -244,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": ch.doc_chunks_sql(),
         "training_order": cf.training_order_sql(),
         "ccnet_buckets": lm.ccnet_buckets_sql(),
+        "split_assign": cf.split_assign_sql(),
+        "split_leakage": cf.split_leakage_sql(),
         # identical oracles to the graded siblings: the physical plan is the
         # only thing that differs between the two as-of / range-join variants
         "asof_enrich_merge": tpr.asof_enrich_sql(TRANSCRIPT_SQL),

@@ -20,8 +20,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..rounding import portable_round, portable_round_sql
 from .dedup import (
-    _md5_i64, _md5_i64_sql, bpe_token_estimate, bpe_tokens_sql, shingles,
-    shingles_sql, tokens, TOKENS_SQL)
+    _md5_i64, _md5_i64_sql, bpe_token_estimate, bpe_tokens_sql,
+    lsh_candidates, lsh_candidates_sql, shingles, shingles_sql, tokens,
+    TOKENS_SQL)
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -542,4 +543,82 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
             AS BIGINT) AS position
 FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# train/valid/test splits with a near-dup leakage guard
+# ---------------------------------------------------------------------------
+
+
+def split_assign(documents: DataFrame, train_bp: int = 8000,
+                 valid_bp: int = 9000) -> DataFrame:
+    """(doc_id, split): deterministic train/valid/test assignment —
+    md5('spl'||doc_id) % 10000 < train_bp → 'train', < valid_bp → 'valid',
+    else 'test' (defaults 80/10/10). Seeded by doc_id like
+    :func:`corpus_sample`, so the split is reproducible across engines and
+    stable under corpus growth: new documents never move existing ones
+    between splits — the property an incrementally-refreshed eval set
+    needs.
+
+    Scale shape: a pure column expression, shuffle-free."""
+    bucket = _md5_i64(
+        F.concat(F.lit("spl"), F.col("doc_id").cast("string"))) % 10_000
+    return documents.select(
+        "doc_id",
+        F.when(bucket < train_bp, "train")
+        .when(bucket < valid_bp, "valid")
+        .otherwise("test").alias("split"))
+
+
+def split_assign_sql(table: str = "documents", train_bp: int = 8000,
+                     valid_bp: int = 9000) -> str:
+    bucket = _md5_i64_sql("'spl' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT doc_id, CASE WHEN {bucket} % 10000 < {train_bp} THEN 'train' "
+        f"WHEN {bucket} % 10000 < {valid_bp} THEN 'valid' "
+        f"ELSE 'test' END AS split FROM {table}")
+
+
+def split_leakage(documents: DataFrame, train_bp: int = 8000,
+                  valid_bp: int = 9000,
+                  snapshot_key: str | None = None) -> DataFrame:
+    """(doc_a, doc_b, split_a, split_b): near-duplicate pairs that CROSS a
+    split boundary — the train→eval contamination an honest benchmark run
+    must quarantine (the GPT-3 appendix-C / Dodge et al. 2021 concern at
+    the near-dup rather than exact-match level). Candidates come from the
+    same banded-MinHash join as :func:`~.dedup.lsh_candidates`; a pair is
+    leakage iff its two sides land in different splits, so the consumer
+    drops (or flags) the eval-side member of every returned pair.
+
+    Scale shape: reuses the banded-signature snapshot the graded
+    `lsh_candidates` row materializes (same ``snapshot_key`` → one
+    signature build per corpus per session); split assignment is a pure
+    column expression joined onto the candidate pairs by doc_id — two
+    corpus-sized equi-joins against a 2-column projection, never an
+    all-pairs comparison and never a second signature pass."""
+    pairs = lsh_candidates(documents, snapshot_key=snapshot_key)
+    splits = split_assign(documents, train_bp, valid_bp)
+    a = splits.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+
+
+def split_leakage_sql(table: str = "documents", train_bp: int = 8000,
+                      valid_bp: int = 9000) -> str:
+    return f"""
+WITH docs AS MATERIALIZED (SELECT doc_id, text FROM {table}),
+cands AS MATERIALIZED ({lsh_candidates_sql("docs")}),
+splits AS ({split_assign_sql("docs", train_bp, valid_bp)})
+SELECT c.doc_a, c.doc_b, a.split AS split_a, b.split AS split_b
+FROM cands c
+JOIN splits a ON c.doc_a = a.doc_id
+JOIN splits b ON c.doc_b = b.doc_id
+WHERE a.split <> b.split
 """

@@ -305,3 +305,50 @@ def test_sequence_pack_plan_rejects_unknown_tokenizer(spark):
         cf.sequence_pack_plan(docs, tokenizer="gpt2")
     with pytest.raises(ValueError, match="unknown tokenizer"):
         cf.sequence_pack_plan_sql(tokenizer="gpt2")
+
+
+def _expected_split(doc_id, train_bp=8000, valid_bp=9000):
+    import hashlib
+
+    b = int(hashlib.md5(f"spl{doc_id}".encode()).hexdigest()[:15], 16) % 10_000
+    return "train" if b < train_bp else ("valid" if b < valid_bp else "test")
+
+
+def test_split_assign_deterministic_and_growth_stable(spark):
+    """Pin the md5-bucket split against an independent hashlib recomputation
+    and the growth-stability contract: adding documents never moves an
+    existing one between splits."""
+    ids = list(range(1, 201))
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in ids],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r.split for r in cf.split_assign(docs).collect()}
+    assert got == {i: _expected_split(i) for i in ids}
+    # all three splits non-empty at n=200 under 80/10/10
+    assert set(got.values()) == {"train", "valid", "test"}
+    grown = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 401)],
+                                  "doc_id long, text string")
+    regrown = {r.doc_id: r.split for r in cf.split_assign(grown).collect()}
+    assert all(regrown[i] == got[i] for i in ids)
+
+
+def test_split_leakage_flags_exactly_cross_split_dups(spark):
+    """Hand-built corpus: eight exact-duplicate documents (identical MinHash
+    signatures → every pair is an LSH candidate) plus two unique documents.
+    Expected leakage = precisely the duplicate pairs whose hashlib-computed
+    splits differ; unique docs never appear."""
+    dup_ids = list(range(1, 9))
+    dup_text = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, dup_text) for i in dup_ids] + [
+        (100, "completely unrelated first singleton document text body"),
+        (101, "another entirely different second singleton document text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.split_a, r.split_b)
+           for r in cf.split_leakage(docs).collect()}
+    splits = {i: _expected_split(i) for i in dup_ids}
+    want = {(a, b): (splits[a], splits[b])
+            for a in dup_ids for b in dup_ids
+            if a < b and splits[a] != splits[b]}
+    assert got == want
+    assert want, "fixture vacuous: every duplicate landed in one split"
+    assert not any(100 in p or 101 in p for p in got)
