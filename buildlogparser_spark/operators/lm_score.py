@@ -177,12 +177,18 @@ def ccnet_buckets(documents: DataFrame,
     selection stage over this module's bigram LM)."""
     from pyspark.sql.window import Window
 
+    from ..materialize import materialize
     from .textstats import lang_id
 
     scored = (
         bigram_lm_score(documents, snapshot_key=snapshot_key)
         .join(lang_id(documents).select("doc_id", "lang_pred"), "doc_id")
     )
+    # diamond root: consumed by the histogram AND the final bucket select —
+    # snapshot it so the LM-scoring joins run once, not once per consumer
+    # (the DuckDB twin's `scored AS MATERIALIZED` is the same statement)
+    if snapshot_key is not None:
+        scored = materialize(scored, key=f"ccnet-scored:{snapshot_key}")
     hist = (
         scored.filter(F.col("n_bigrams") > 0)
         .groupBy("lang_pred", "h_bits").agg(F.count("*").alias("c"))
