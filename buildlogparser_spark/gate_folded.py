@@ -11,7 +11,11 @@ flagship LLM ops back into the graded sweep (VERDICT r04 #1) after r04's
 sweep ran clean, then eight more (lsh_dedup_keep, decontaminate,
 corpus_sample, sequence_pack_plan, source_mix_weights, pq_topk,
 ivfpq_topk, semantic_dedup_representative) once MATERIALIZED k-means
-assignment CTEs made their oracles sweep-cheap — 54 graded entries.
+assignment CTEs made their oracles sweep-cheap; later round-5 sessions
+added graded-first ops (sft_pairs, tfidf_top_terms, dsir_weights,
+c4_clean, quality_classifier, the as-of/range temporal pair,
+dup_span_removal, tool_call_loops, context_windows) taking the graded
+sweep to its 64-entry contract cap (61 oracled + 3 rows-only).
 Every remaining twin/sibling
 query lives HERE: same Spark callable, same DuckDB oracle SQL, compared
 value-for-value by ``tests/test_gate_folded.py`` through the identical

@@ -562,6 +562,10 @@ def split_assign(documents: DataFrame, train_bp: int = 8000,
     needs.
 
     Scale shape: a pure column expression, shuffle-free."""
+    if not 0 <= train_bp <= valid_bp <= 10_000:
+        raise ValueError(
+            f"need 0 <= train_bp <= valid_bp <= 10000, "
+            f"got train_bp={train_bp}, valid_bp={valid_bp}")
     bucket = _md5_i64(
         F.concat(F.lit("spl"), F.col("doc_id").cast("string"))) % 10_000
     return documents.select(
@@ -573,16 +577,19 @@ def split_assign(documents: DataFrame, train_bp: int = 8000,
 
 def split_assign_sql(table: str = "documents", train_bp: int = 8000,
                      valid_bp: int = 9000) -> str:
+    # bucket computed once in the subquery — one md5 per row, not one per
+    # CASE branch
     bucket = _md5_i64_sql("'spl' || CAST(doc_id AS VARCHAR)")
     return (
-        f"SELECT doc_id, CASE WHEN {bucket} % 10000 < {train_bp} THEN 'train' "
-        f"WHEN {bucket} % 10000 < {valid_bp} THEN 'valid' "
-        f"ELSE 'test' END AS split FROM {table}")
+        f"SELECT doc_id, CASE WHEN b < {train_bp} THEN 'train' "
+        f"WHEN b < {valid_bp} THEN 'valid' ELSE 'test' END AS split "
+        f"FROM (SELECT doc_id, {bucket} % 10000 AS b FROM {table}) t")
 
 
 def split_leakage(documents: DataFrame, train_bp: int = 8000,
                   valid_bp: int = 9000,
-                  snapshot_key: str | None = None) -> DataFrame:
+                  snapshot_key: str | None = None, num_hashes: int = 32,
+                  bands: int = 8, shingle_k: int = 3) -> DataFrame:
     """(doc_a, doc_b, split_a, split_b): near-duplicate pairs that CROSS a
     split boundary — the train→eval contamination an honest benchmark run
     must quarantine (the GPT-3 appendix-C / Dodge et al. 2021 concern at
@@ -591,13 +598,21 @@ def split_leakage(documents: DataFrame, train_bp: int = 8000,
     leakage iff its two sides land in different splits, so the consumer
     drops (or flags) the eval-side member of every returned pair.
 
+    Granularity caveat: the guard sees what MinHash sees — documents
+    shorter than ``shingle_k`` tokens produce no shingles, hence no
+    signature, and are invisible here even as exact cross-split
+    duplicates. Compose with :func:`~.dedup.dedup_exact` (or lower
+    ``shingle_k``) when short documents matter.
+
     Scale shape: reuses the banded-signature snapshot the graded
-    `lsh_candidates` row materializes (same ``snapshot_key`` → one
-    signature build per corpus per session); split assignment is a pure
-    column expression joined onto the candidate pairs by doc_id — two
-    corpus-sized equi-joins against a 2-column projection, never an
-    all-pairs comparison and never a second signature pass."""
-    pairs = lsh_candidates(documents, snapshot_key=snapshot_key)
+    `lsh_candidates` row materializes (same ``snapshot_key`` and LSH
+    parameters → one signature build per corpus per session); split
+    assignment is a pure column expression joined onto the candidate
+    pairs by doc_id — two corpus-sized equi-joins against a 2-column
+    projection, never an all-pairs comparison and never a second
+    signature pass."""
+    pairs = lsh_candidates(documents, num_hashes=num_hashes, bands=bands,
+                           shingle_k=shingle_k, snapshot_key=snapshot_key)
     splits = split_assign(documents, train_bp, valid_bp)
     a = splits.select(F.col("doc_id").alias("doc_a"),
                       F.col("split").alias("split_a"))
@@ -611,10 +626,11 @@ def split_leakage(documents: DataFrame, train_bp: int = 8000,
 
 
 def split_leakage_sql(table: str = "documents", train_bp: int = 8000,
-                      valid_bp: int = 9000) -> str:
+                      valid_bp: int = 9000, num_hashes: int = 32,
+                      bands: int = 8, shingle_k: int = 3) -> str:
     return f"""
 WITH docs AS MATERIALIZED (SELECT doc_id, text FROM {table}),
-cands AS MATERIALIZED ({lsh_candidates_sql("docs")}),
+cands AS MATERIALIZED ({lsh_candidates_sql("docs", num_hashes, bands, shingle_k)}),
 splits AS ({split_assign_sql("docs", train_bp, valid_bp)})
 SELECT c.doc_a, c.doc_b, a.split AS split_a, b.split AS split_b
 FROM cands c

@@ -352,3 +352,11 @@ def test_split_leakage_flags_exactly_cross_split_dups(spark):
     assert got == want
     assert want, "fixture vacuous: every duplicate landed in one split"
     assert not any(100 in p or 101 in p for p in got)
+
+
+def test_split_assign_rejects_inconsistent_rates(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="train_bp"):
+        cf.split_assign(docs, train_bp=9000, valid_bp=8000)
+    with pytest.raises(ValueError, match="train_bp"):
+        cf.split_assign(docs, train_bp=8000, valid_bp=12000)
