@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic shard-local training-order shuffle (graded packing
         # sibling: sequence_pack_plan)
         "training_order": lambda spark, sf: cf.training_order(_docs(spark, sf)),
+        # UniMax budget-capped language-uniform allocation (Chung et al.
+        # 2023; graded sibling: source_mix_weights carries the mixing row)
+        "unimax_weights": lambda spark, sf: cf.unimax_weights(
+            _docs(spark, sf)),
         # deterministic train/valid/test assignment (graded sibling:
         # corpus_sample carries the md5-bucket gate row)
         "split_assign": lambda spark, sf: cf.split_assign(_docs(spark, sf)),
@@ -255,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": ch.doc_chunks_sql(),
         "training_order": cf.training_order_sql(),
         "ccnet_buckets": lm.ccnet_buckets_sql(),
+        "unimax_weights": cf.unimax_weights_sql(),
         "split_assign": cf.split_assign_sql(),
         "split_leakage": cf.split_leakage_sql(),
         # identical oracles to the graded siblings: the physical plan is the

@@ -638,3 +638,123 @@ JOIN splits a ON c.doc_a = a.doc_id
 JOIN splits b ON c.doc_b = b.doc_id
 WHERE a.split <> b.split
 """
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-sampling allocation (Chung et al. 2023, public)
+# ---------------------------------------------------------------------------
+
+
+def unimax_weights(documents: DataFrame, epochs: int = 2,
+                   budget_num: int = 1, budget_den: int = 2) -> DataFrame:
+    """(lang, n_tokens, cap_tokens, alloc_tokens, weight): UniMax's
+    budget-capped language-uniform allocation — spread a token budget
+    B = total_tokens × budget_num/budget_den as evenly as possible across
+    languages, but never give a language more than ``epochs`` passes over
+    its own data (cap_tokens = epochs × n_tokens). The paper's greedy
+    (languages ascending by capacity, each taking
+    min(cap, remaining/langs_left)) IS waterfilling, so the closed form
+    is: saturated prefix at cap, everyone else the common water level θ.
+
+    Determinism across engines: every saturation decision is ALL-INTEGER
+    (cap·langs_left ≤ budget−cum, 64-bit) — no float compare ever picks
+    the prefix; only the final θ and weights are doubles, 6-dp
+    portable-rounded. ``weight`` sums to 1 (alloc / B, or alloc / Σcap
+    when the budget exceeds every cap).
+
+    Scale shape: one corpus scan → per-language hash-agg (map-side
+    partial sums); every window after that runs over the AGGREGATED
+    |langs|-row frame only, so the single-partition windows are no-ops at
+    scale — the :func:`source_mix_weights` pattern.
+
+    Reference analog: none; driver-brief training-data op (UniMax paper:
+    Chung et al., "UniMax: Fairer and More Effective Language Sampling
+    for Large-Scale Multilingual Pretraining", ICLR 2023)."""
+    from pyspark.sql.window import Window
+
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError(
+            f"need budget_num >= 0 and budget_den > 0, "
+            f"got {budget_num}/{budget_den}")
+    caps = (
+        documents
+        .groupBy(F.coalesce("lang", F.lit("und")).alias("lang"))
+        .agg(F.sum(F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
+                   .cast("long")).alias("n_tokens"))
+        .withColumn("cap_tokens", (F.col("n_tokens") * epochs).cast("long")))
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("cap_tokens", "lang")
+    staged = (
+        caps
+        .withColumn("k", F.count("*").over(w_all))
+        .withColumn("budget", F.expr(
+            f"(sum(n_tokens) OVER () * {budget_num}) DIV {budget_den}")
+            .cast("long"))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("cum", F.sum("cap_tokens").over(w_ord).cast("long"))
+        .withColumn("sat", F.expr(
+            "cap_tokens * (k - i + 1) <= budget - (cum - cap_tokens)")))
+    staged = (
+        staged
+        # m = length of the saturated PREFIX (first non-sat row bounds it;
+        # prefix form is robust even if sat were non-monotone past m)
+        .withColumn("m", F.coalesce(
+            F.min(F.when(~F.col("sat"), F.col("i"))).over(w_all) - 1,
+            F.col("k")))
+        .withColumn("cum_m", F.coalesce(
+            F.max(F.when(F.col("i") == F.col("m"), F.col("cum"))).over(w_all),
+            F.lit(0)).cast("long")))
+    theta = ((F.col("budget") - F.col("cum_m"))
+             / (F.col("k") - F.col("m")).cast("double"))
+    denom = F.when(F.col("m") < F.col("k"), F.col("budget").cast("double")) \
+        .otherwise(F.max("cum").over(w_all).cast("double"))  # max cum == Σcap
+    alloc = F.when(F.col("i") <= F.col("m"),
+                   F.col("cap_tokens").cast("double")).otherwise(theta)
+    return (
+        staged
+        .withColumn("alloc_tokens", portable_round(alloc, 6))
+        .withColumn("weight", portable_round(
+            F.when(denom > 0, alloc / denom).otherwise(0.0), 6))
+        .select("lang", "n_tokens", "cap_tokens", "alloc_tokens", "weight"))
+
+
+def unimax_weights_sql(table: str = "documents", epochs: int = 2,
+                       budget_num: int = 1, budget_den: int = 2) -> str:
+    toks = TOKENS_SQL.format(c="text")
+    theta = "CAST(budget - cum_m AS DOUBLE) / CAST(k - m AS DOUBLE)"
+    alloc = f"CASE WHEN i <= m THEN CAST(cap_tokens AS DOUBLE) ELSE {theta} END"
+    denom = ("CASE WHEN m < k THEN CAST(budget AS DOUBLE) "
+             "ELSE CAST(total_cap AS DOUBLE) END")
+    return f"""
+WITH caps AS (
+  SELECT coalesce(lang, 'und') AS lang,
+         CAST(sum(coalesce(len({toks}), 0)) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(len({toks}), 0)) * {epochs} AS BIGINT) AS cap_tokens
+  FROM {table} GROUP BY coalesce(lang, 'und')
+), staged AS (
+  SELECT lang, n_tokens, cap_tokens,
+         count(*) OVER () AS k,
+         (sum(n_tokens) OVER () * {budget_num}) // {budget_den} AS budget,
+         row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+         sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS cum,
+         sum(cap_tokens) OVER () AS total_cap
+  FROM caps
+), marked AS (
+  SELECT *, cap_tokens * (k - i + 1) <= budget - (cum - cap_tokens) AS sat
+  FROM staged
+), bounds AS (
+  SELECT *,
+         coalesce(min(CASE WHEN NOT sat THEN i END) OVER () - 1, k) AS m
+  FROM marked
+), final AS (
+  SELECT *,
+         coalesce(max(CASE WHEN i = m THEN cum END) OVER (), 0) AS cum_m
+  FROM bounds
+)
+SELECT lang, n_tokens, cap_tokens,
+       {portable_round_sql(alloc, 6)} AS alloc_tokens,
+       {portable_round_sql(f"CASE WHEN {denom} > 0 THEN ({alloc}) / ({denom}) ELSE 0.0 END", 6)} AS weight
+FROM final
+"""

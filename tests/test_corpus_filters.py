@@ -360,3 +360,49 @@ def test_split_assign_rejects_inconsistent_rates(spark):
         cf.split_assign(docs, train_bp=9000, valid_bp=8000)
     with pytest.raises(ValueError, match="train_bp"):
         cf.split_assign(docs, train_bp=8000, valid_bp=12000)
+
+
+def _lang_docs(spark):
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, words(10, "a"), "aa"),
+        (2, words(20, "b"), "bb"),
+        (3, words(20, "c"), "bb"),
+        (4, words(100, "d"), "cc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_unimax_waterfill_hand_fixture(spark):
+    """Pin UniMax's closed-form waterfilling on hand-computed numbers:
+    caps (epochs=2) = aa 20 / bb 80 / cc 200, budget = 150/2 = 75 →
+    aa saturates at 20, the water level is (75-20)/2 = 27.5 for bb and
+    cc, and the weights normalize over the budget."""
+    got = {r.lang: r for r in cf.unimax_weights(_lang_docs(spark)).collect()}
+    assert {(r.lang, r.n_tokens, r.cap_tokens) for r in got.values()} == {
+        ("aa", 10, 20), ("bb", 40, 80), ("cc", 100, 200)}
+    assert got["aa"].alloc_tokens == 20.0
+    assert got["bb"].alloc_tokens == got["cc"].alloc_tokens == 27.5
+    assert got["aa"].weight == round(20 / 75, 6)
+    assert got["bb"].weight == got["cc"].weight == round(27.5 / 75, 6)
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
+
+
+def test_unimax_budget_exceeds_caps(spark):
+    """Budget above every epoch cap: all languages saturate and weights
+    normalize over total capacity instead of the (unreachable) budget."""
+    got = {r.lang: r for r in cf.unimax_weights(
+        _lang_docs(spark), budget_num=10, budget_den=1).collect()}
+    assert {r.lang: r.alloc_tokens for r in got.values()} == {
+        "aa": 20.0, "bb": 80.0, "cc": 200.0}
+    assert got["cc"].weight == round(200 / 300, 6)
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
+
+
+def test_unimax_rejects_bad_params(spark):
+    docs = _lang_docs(spark)
+    with pytest.raises(ValueError, match="epochs"):
+        cf.unimax_weights(docs, epochs=0)
+    with pytest.raises(ValueError, match="budget"):
+        cf.unimax_weights(docs, budget_den=0)
