@@ -406,3 +406,27 @@ def test_unimax_rejects_bad_params(spark):
         cf.unimax_weights(docs, epochs=0)
     with pytest.raises(ValueError, match="budget"):
         cf.unimax_weights(docs, budget_den=0)
+
+
+def test_unimax_null_lang_and_text(spark):
+    """NULL lang folds into 'und' and NULL text counts zero tokens — in
+    both engines (the graded-path NULL-robustness discipline applied to
+    the folded op)."""
+    import duckdb
+
+    rows = [(1, "w1 w2 w3 w4", "aa"), (2, None, "aa"),
+            (3, "x1 x2", None), (4, None, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in cf.unimax_weights(docs).collect()}
+    assert set(got) == {"aa", "und"}
+    assert got["aa"].n_tokens == 4 and got["und"].n_tokens == 2
+    con = duckdb.connect()
+    con.execute("CREATE VIEW d AS SELECT * FROM (VALUES "
+                "(1, 'w1 w2 w3 w4', 'aa'), (2, NULL, 'aa'), "
+                "(3, 'x1 x2', NULL), (4, NULL, NULL)) t(doc_id, text, lang)")
+    duck = {r[0]: r for r in con.execute(
+        cf.unimax_weights_sql("d")).fetchall()}
+    for lang in ("aa", "und"):
+        s = got[lang]
+        assert duck[lang] == (lang, s.n_tokens, s.cap_tokens,
+                              s.alloc_tokens, s.weight)
