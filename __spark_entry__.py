@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 64 entries (61 oracled + 3 rows-only): the r04
+* ``queries()`` is 67 entries (64 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -27,7 +27,9 @@ time/exposure-dependent, not pressure-dependent. Defenses here:
   pq_topk, ivfpq_topk, semantic_dedup_representative) after
   materializing the twice-consumed k-means assignment CTEs cut the
   PQ/IVF oracle chains 4-15× (every added oracle ≤~0.8 s at sf0.01,
-  ~+3 s total sweep exposure). Every remaining twin/sibling query stays in
+  ~+3 s total sweep exposure); later sessions added graded-first ops
+  through the final trio (preference_pairs, semantic_decontaminate,
+  corpus_drift). Every remaining twin/sibling query stays in
   ``buildlogparser_spark/gate_folded.py`` where ``tests/test_gate_folded.py``
   runs the SAME Spark-vs-DuckDB value compare the driver does — nothing
   lost but the scoreboard row.
@@ -59,6 +61,7 @@ from buildlogparser_spark.operators import c4
 from buildlogparser_spark.operators import corpus_filters as cf
 from buildlogparser_spark.operators import curate as cur
 from buildlogparser_spark.operators import dedup as dd
+from buildlogparser_spark.operators import drift as drf
 from buildlogparser_spark.operators import dsir
 from buildlogparser_spark.operators import lines as ln
 from buildlogparser_spark.operators import lm_score as lm
@@ -269,6 +272,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per assistant turn (one bounded-frame window, sorted-struct fold)
         "context_windows": lambda spark, sf: sft.context_windows(
             load_transcripts(spark, sf)),
+        # DPO-style preference pairs: repeated prompts' responses deduped,
+        # quality-ranked, best-vs-worst paired (round-5 final session)
+        "preference_pairs": lambda spark, sf: sft.preference_pairs(
+            load_transcripts(spark, sf)),
+        # embedding-level benchmark decontamination: max cosine of every
+        # corpus vector against the broadcast benchmark set (map-only)
+        "semantic_decontaminate": lambda spark, sf: sim.semantic_decontaminate(
+            _emb(spark, sf)),
+        # snapshot drift: per-(dim, bin) PSI between the two md5 halves of
+        # the corpus, deterministic bin-ordered fold for the total
+        "corpus_drift": lambda spark, sf: drf.corpus_drift(_docs(spark, sf)),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -421,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
         "tool_call_loops": agg.tool_call_loops_sql(
             agg.inject_loops_sql(TRANSCRIPT_SQL)),
         "context_windows": sft.context_windows_sql(TRANSCRIPT_SQL),
+        "preference_pairs": sft.preference_pairs_sql(TRANSCRIPT_SQL),
+        "semantic_decontaminate": sim.semantic_decontaminate_sql(),
+        "corpus_drift": drf.corpus_drift_sql(),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,

@@ -44,8 +44,8 @@ from buildlogparser_spark.operators.assemble import (  # noqa: E402
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
-    c4, curate, dedup, dsir, quality_clf, sft, similarity, spans, temporal,
-    textstats)
+    c4, curate, dedup, drift, dsir, quality_clf, sft, similarity, spans,
+    temporal, textstats)
 from buildlogparser_spark.rules.table import default_stack  # noqa: E402
 
 
@@ -222,6 +222,15 @@ def main() -> None:
             agg.inject_loops(transcripts)).count())
         timed("q27_context_windows",
               lambda: sft.context_windows(transcripts).count())
+        # final-session additions (outside the comparable sum): DPO-style
+        # preference pairs over the transcript stream, embedding benchmark
+        # decontamination, and snapshot-PSI corpus drift
+        timed("q28_preference_pairs",
+              lambda: sft.preference_pairs(transcripts).count())
+        timed("q29_semantic_decontaminate",
+              lambda: similarity.semantic_decontaminate(embeddings).count())
+        timed("q30_corpus_drift",
+              lambda: drift.corpus_drift(documents).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
@@ -234,7 +243,9 @@ def main() -> None:
                                 "q21_c4_clean", "q22_quality_classifier",
                                 "q23_asof_enrich", "q24_incident_errors",
                                 "q25_dup_span_removal", "q26_tool_call_loops",
-                                "q27_context_windows")}
+                                "q27_context_windows", "q28_preference_pairs",
+                                "q29_semantic_decontaminate",
+                                "q30_corpus_drift")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps
         # (not min-of-9 — more reps monotonically lowers the min on a noisy

@@ -1,0 +1,168 @@
+"""Corpus snapshot drift — Population Stability Index per categorical
+dimension.
+
+PSI is the standard production metric for distribution shift between a
+reference and a current population (public: the credit-scoring literature,
+e.g. Siddiqi 2006 "Credit Risk Scorecards"; ubiquitous in ML-monitoring
+writeups): PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b), with PSI ≲ 0.1 read
+as stable and ≳ 0.25 as shifted. For a training-data pipeline this is the
+"did the corpus change under me" gate between ingest snapshots — here the
+two snapshots are the deterministic md5('drift' || doc_id) halves of
+``documents`` (the salted growth-stable hash-split convention of
+``corpus_filters.split_assign``),
+so the oracle is exact and self-contained; production swaps the two halves
+for yesterday's and today's snapshot scans.
+
+Shares are Laplace-smoothed — p_b = (n_b + 1) / (N_half + K), K = the
+dimension's bin count over BOTH halves — so a bin present in only one
+half contributes a finite term instead of ln(0).
+
+Cross-engine determinism: shares are 9-dp portable-rounded before the
+``ln`` (both engines then evaluate libm log on the SAME double; the ≤1-ulp
+result divergence is absorbed by 9-dp-rounding each term — the
+``quality_clf`` sigmoid convention), and ``psi_total`` is a bin-ordered
+sequential fold over the dimension's term list (``sort_array`` +
+``aggregate`` / ``list(... ORDER BY bin)`` + ``list_reduce``), never an
+unordered float sum.
+
+Scale shape (10^12 docs): ONE corpus scan → a (dim, bin, half) hash-agg
+with map-side partial counts; every window/join after that runs over the
+|dims|·|bins|-row aggregate only (the ``source_mix_weights`` pattern), so
+the whole op is one shuffle of a few hundred grouped rows regardless of
+corpus size.
+
+Reference analog: none (the reference is a diagnostics parser); this is a
+driver-brief training-data/telemetry op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..rounding import portable_round, portable_round_sql
+from .dedup import _md5_i64, _md5_i64_sql
+
+
+def corpus_drift(documents: DataFrame) -> DataFrame:
+    """(dim, bin, ref_n, cur_n, ref_share, cur_share, psi_term, psi_total)
+    for dim ∈ {lang, source} over the two md5(doc_id) snapshot halves.
+
+    NULL lang → 'und' (the ``unimax_weights`` convention), NULL source →
+    'unknown'. ``ref_share``/``cur_share`` are the smoothed shares at 6 dp;
+    ``psi_term`` is the bin's 6-dp PSI contribution; ``psi_total`` repeats
+    the dimension's deterministic-fold total on every row of that dim.
+    """
+    half = (_md5_i64(
+        F.concat(F.lit("drift"), F.col("doc_id").cast("string"))) % 2
+    ).alias("half")
+    base = documents.select(
+        half,
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+    )
+    pairs = base.select(
+        "half",
+        F.explode(F.array(
+            F.struct(F.lit("lang").alias("dim"), F.col("lang").alias("bin")),
+            F.struct(F.lit("source").alias("dim"),
+                     F.col("source").alias("bin")),
+        )).alias("db"),
+    ).select("half", F.col("db.dim").alias("dim"), F.col("db.bin").alias("bin"))
+    counts = pairs.groupBy("dim", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long").alias("ref_n"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long").alias("cur_n"),
+    )
+    wd = Window.partitionBy("dim")
+    tot = (counts
+           .withColumn("ref_tot", F.sum("ref_n").over(wd))
+           .withColumn("cur_tot", F.sum("cur_n").over(wd))
+           .withColumn("kbins", F.count("*").over(wd)))
+    p9 = portable_round(
+        (F.col("ref_n") + 1) / (F.col("ref_tot") + F.col("kbins")), 9)
+    q9 = portable_round(
+        (F.col("cur_n") + 1) / (F.col("cur_tot") + F.col("kbins")), 9)
+    ratio9 = portable_round(p9 / q9, 9)
+    term9 = portable_round((p9 - q9) * F.log(ratio9), 9)
+    terms = tot.select(
+        "dim", "bin", "ref_n", "cur_n",
+        portable_round(p9, 6).alias("ref_share"),
+        portable_round(q9, 6).alias("cur_share"),
+        term9.alias("term9"),
+    )
+    totals = (
+        terms.groupBy("dim")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("bin", "term9"))).alias("tl"))
+        .select(
+            "dim",
+            portable_round(
+                F.aggregate(F.col("tl"), F.lit(0.0),
+                            lambda acc, s: acc + s["term9"]),
+                6).alias("psi_total"),
+        )
+    )
+    return (
+        terms.join(totals, "dim")
+        .select("dim", "bin", "ref_n", "cur_n", "ref_share", "cur_share",
+                portable_round(F.col("term9"), 6).alias("psi_term"),
+                "psi_total")
+    )
+
+
+def corpus_drift_sql(table: str = "documents") -> str:
+    """DuckDB twin: same halves, same UNION-ALL unpivot, same smoothed
+    9-dp shares → ln → 9-dp terms → bin-ordered list_reduce total."""
+    salted = "'drift' || CAST(doc_id AS VARCHAR)"
+    half = f"{_md5_i64_sql(salted)} % 2"
+    p9 = portable_round_sql(
+        "(ref_n + 1) / CAST(ref_tot + kbins AS DOUBLE)", 9)
+    q9 = portable_round_sql(
+        "(cur_n + 1) / CAST(cur_tot + kbins AS DOUBLE)", 9)
+    ratio9 = portable_round_sql("p9 / q9", 9)
+    term9 = portable_round_sql(f"(p9 - q9) * ln({ratio9})", 9)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {half} AS half,
+         coalesce(lang, 'und') AS lang,
+         coalesce(source, 'unknown') AS source
+  FROM {table}
+),
+pairs AS (
+  SELECT half, 'lang' AS dim, lang AS bin FROM base
+  UNION ALL
+  SELECT half, 'source' AS dim, source AS bin FROM base
+),
+counts AS (
+  SELECT dim, bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+  FROM pairs GROUP BY dim, bin
+),
+tot AS (
+  SELECT *, sum(ref_n) OVER (PARTITION BY dim) AS ref_tot,
+            sum(cur_n) OVER (PARTITION BY dim) AS cur_tot,
+            count(*) OVER (PARTITION BY dim) AS kbins
+  FROM counts
+),
+shares AS (
+  SELECT dim, bin, ref_n, cur_n, {p9} AS p9, {q9} AS q9 FROM tot
+),
+terms AS (
+  SELECT dim, bin, ref_n, cur_n, p9, q9, {term9} AS term9 FROM shares
+),
+totals AS (
+  SELECT dim,
+         {portable_round_sql(
+             "list_reduce(list(term9 ORDER BY bin), (a, b) -> a + b)", 6)}
+           AS psi_total
+  FROM terms GROUP BY dim
+)
+SELECT t.dim, t.bin, t.ref_n, t.cur_n,
+       {portable_round_sql('t.p9', 6)} AS ref_share,
+       {portable_round_sql('t.q9', 6)} AS cur_share,
+       {portable_round_sql('t.term9', 6)} AS psi_term,
+       tt.psi_total AS psi_total
+FROM terms t JOIN totals tt ON t.dim = tt.dim
+"""

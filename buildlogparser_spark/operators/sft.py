@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..rounding import portable_round, portable_round_sql
 from .dedup import bpe_token_estimate, bpe_tokens_sql
 
 
@@ -201,4 +202,125 @@ SELECT conv_id, turn_idx,
        coalesce(text, '') AS target
 FROM win
 WHERE role = 'assistant'
+"""
+
+
+def preference_pairs(transcripts: DataFrame) -> DataFrame:
+    """(prompt_key, prompt, chosen, rejected, chosen_score, rejected_score,
+    margin, n_candidates): DPO-style preference pairs constructed from
+    repeated prompts.
+
+    DPO (Rafailov et al. 2023, "Direct Preference Optimization", public
+    arXiv 2305.18290) consumes (prompt, chosen, rejected) triples; when no
+    human ranking exists, the public recipe (Zephyr, Tunstall et al. 2023
+    arXiv 2310.16944; UltraFeedback, Cui et al. 2023 arXiv 2310.01377)
+    scores multiple responses to the SAME prompt and pairs best against
+    worst. Here: :func:`sft_pairs` examples grouped by md5(prompt) —
+    identical collapsed user segments recurring across the corpus — with
+    identical response texts deduplicated to one candidate, ranked by the
+    shared quality heuristic (:func:`~.textstats.quality_expr`, 4-dp
+    portable-rounded). ``chosen`` = highest score, ``rejected`` = lowest;
+    score ties break on the response text itself (binary string order,
+    identical across engines for the ASCII corpus), which is a total order
+    because candidates within a group have distinct texts by construction.
+    Groups need ≥ 2 distinct responses; ``margin`` may be 0 (all-tie
+    group) — callers filter on it for training.
+
+    Scale shape (10^12 turns): one hash-agg on (prompt_key, response) to
+    dedupe candidates, then windows partitioned by prompt_key over the
+    DEDUPED candidate set — per-group cost is O(distinct responses to that
+    prompt), never O(corpus). The md5 group key distributes prompts evenly;
+    a viral prompt with millions of DISTINCT responses is the residual skew
+    axis and would be capped upstream exactly like
+    ``conversation_near_dups`` caps turns per conversation.
+
+    Reference analog: none (the reference is a diagnostics parser); this is
+    a driver-brief training-data op.
+    """
+    from .dedup import _md5_i64
+    from .textstats import quality_expr
+
+    cand = (
+        sft_pairs(transcripts)
+        .select(_md5_i64(F.col("prompt")).alias("prompt_key"),
+                "prompt", "response")
+        .groupBy("prompt_key", "response")
+        .agg(F.min("prompt").alias("prompt"))
+    )
+    scored = cand.withColumn(
+        "score", portable_round(quality_expr(F.col("response")), 4))
+    wp = Window.partitionBy("prompt_key")
+    best_w = wp.orderBy(F.desc("score"), F.asc("response"))
+    worst_w = wp.orderBy(F.asc("score"), F.desc("response"))
+    ranked = (
+        scored
+        .withColumn("rk_best", F.row_number().over(best_w))
+        .withColumn("rk_worst", F.row_number().over(worst_w))
+        .withColumn("n_candidates", F.count("*").over(wp))
+    )
+    best = ranked.filter(
+        (F.col("rk_best") == 1) & (F.col("n_candidates") >= 2)).select(
+        "prompt_key", "prompt",
+        F.col("response").alias("chosen"),
+        F.col("score").alias("chosen_score"),
+        "n_candidates")
+    worst = ranked.filter(F.col("rk_worst") == 1).select(
+        "prompt_key",
+        F.col("response").alias("rejected"),
+        F.col("score").alias("rejected_score"))
+    return best.join(worst, "prompt_key").select(
+        "prompt_key", "prompt", "chosen", "rejected",
+        "chosen_score", "rejected_score",
+        portable_round(
+            F.col("chosen_score") - F.col("rejected_score"), 4).alias("margin"),
+        F.col("n_candidates").cast("long").alias("n_candidates"))
+
+
+def preference_pairs_sql(transcript_sql: str) -> str:
+    """DuckDB twin: the sft_pairs chain nested as a CTE, the same
+    (prompt_key, response) dedupe hash-agg, the shared quality CASE
+    (:func:`~.textstats.quality_case_sql`), and the same two row_number
+    rankings joined back at rank 1."""
+    from .dedup import TOKENS_SQL, _md5_i64_sql
+    from .textstats import LANG_MARKERS, quality_case_sql
+
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    toks = TOKENS_SQL.format(c="rt")
+    return f"""
+WITH sft AS MATERIALIZED ({sft_pairs_sql(transcript_sql)}),
+cand AS MATERIALIZED (
+  SELECT {_md5_i64_sql('prompt')} AS prompt_key, response,
+         min(prompt) AS prompt
+  FROM sft GROUP BY 1, 2
+),
+qbase AS (
+  SELECT prompt_key, prompt, response,
+         length(rt) AS n_chars,
+         {toks} AS toks,
+         length(rt) - length(regexp_replace(rt, '[.,;:!?]', '', 'g')) AS n_punct
+  FROM (SELECT *, coalesce(response, '') AS rt FROM cand) b
+),
+scored AS (
+  SELECT prompt_key, prompt, response,
+         {portable_round_sql(quality_case_sql(), 4)} AS score
+  FROM (SELECT *, len(toks) AS n_toks,
+               len(list_filter(toks, t -> list_contains([{stop}], t))) AS stop_hits
+        FROM qbase) s
+),
+ranked AS (
+  SELECT prompt_key, prompt, response, score,
+         row_number() OVER (PARTITION BY prompt_key
+                            ORDER BY score DESC, response ASC) AS rk_best,
+         row_number() OVER (PARTITION BY prompt_key
+                            ORDER BY score ASC, response DESC) AS rk_worst,
+         count(*) OVER (PARTITION BY prompt_key) AS n_cand
+  FROM scored
+)
+SELECT b.prompt_key, b.prompt,
+       b.response AS chosen, w.response AS rejected,
+       b.score AS chosen_score, w.score AS rejected_score,
+       {portable_round_sql('b.score - w.score', 4)} AS margin,
+       CAST(b.n_cand AS BIGINT) AS n_candidates
+FROM ranked b JOIN ranked w ON b.prompt_key = w.prompt_key
+WHERE b.rk_best = 1 AND w.rk_worst = 1 AND b.n_cand >= 2
 """

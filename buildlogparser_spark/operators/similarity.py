@@ -1352,3 +1352,83 @@ SELECT query_id, vec_id AS neighbor_id,
        {portable_round_sql('adc', 4)} AS adc_sim
 FROM ranked WHERE rk <= {k_results}
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) benchmark decontamination — the embedding
+# sibling of corpus_filters.decontaminate (which is n-gram-overlap-based).
+# Public recipe: eval contamination checks by embedding similarity against
+# the benchmark set (e.g. the GPT-4 technical report's contamination
+# methodology and the open-data replications of it) — a corpus item is
+# flagged when it is too close to ANY benchmark item in embedding space,
+# catching paraphrased leakage that exact n-grams miss.
+# ---------------------------------------------------------------------------
+
+
+def semantic_decontaminate(embeddings: DataFrame, bench_mod: int = 97,
+                           threshold: float = 0.4) -> DataFrame:
+    """(vec_id, max_bench_sim, contaminated) for every corpus vector.
+
+    Benchmark set = ``vec_id % bench_mod == 0`` (the deterministic stand-in
+    convention of :func:`~.corpus_filters.decontaminate`); corpus = the
+    rest. ``max_bench_sim`` = the highest 9-dp-rounded cosine against any
+    benchmark vector (shown at 4 dp; NULL when the benchmark set is empty),
+    ``contaminated`` = 1 when that max ≥ threshold, else 0 (including the
+    empty-benchmark case).
+
+    Scale shape (10^12 corpus vectors): benchmark suites are SMALL and
+    fixed-size (10^3-10^5 items, independent of corpus growth), so the
+    whole benchmark set is folded into ONE array row and broadcast — the
+    corpus side is a single map-only pass (no shuffle at all: the
+    per-corpus-row max is computed inside ``transform``/``array_max`` over
+    the broadcast array). A benchmark too large to broadcast would switch
+    to the LSH-blocked path (:func:`embedding_near_dup_lsh`'s bucket join);
+    this op deliberately takes the broadcast shape because it is the right
+    plan for real benchmark sizes.
+
+    Reference analog: none; driver-brief training-data op.
+    """
+    base = with_unit_vectors(embeddings).select("vec_id", "unit")
+    bench_arr = (
+        base.filter((F.col("vec_id") % bench_mod) == 0)
+        .agg(F.sort_array(
+            F.collect_list(F.struct("vec_id", "unit"))).alias("bench"))
+        .withColumn("k", F.lit(1))
+    )
+    corpus = (base.filter((F.col("vec_id") % bench_mod) != 0)
+              .withColumn("k", F.lit(1)))
+    msim = F.array_max(F.transform(
+        F.col("bench"),
+        lambda b: portable_round(_dot(b["unit"], F.col("unit")), 9)))
+    return (
+        corpus.join(F.broadcast(bench_arr), "k")
+        .select(
+            "vec_id",
+            portable_round(msim, 4).alias("max_bench_sim"),
+            F.when(msim >= threshold, 1).otherwise(0)
+            .cast("int").alias("contaminated"),
+        )
+    )
+
+
+def semantic_decontaminate_sql(bench_mod: int = 97, threshold: float = 0.4,
+                               table: str = "embeddings") -> str:
+    """DuckDB twin: same unit-vector prelude, bench × corpus via LEFT JOIN
+    ON TRUE (keeps corpus rows when the benchmark set is empty, mirroring
+    the Spark array_max-of-empty → NULL), same 9-dp max → 4-dp display."""
+    dot = _DOT_SQL.format(a="c.unit", b="b.unit")
+    return f"""
+WITH {_UNITV_SQL.format(table=table)},
+bench AS (SELECT vec_id, unit FROM unitv WHERE vec_id % {bench_mod} = 0),
+corpus AS (SELECT vec_id, unit FROM unitv WHERE vec_id % {bench_mod} <> 0),
+scored AS (
+  SELECT c.vec_id AS vec_id, max({portable_round_sql(dot, 9)}) AS msim
+  FROM corpus c LEFT JOIN bench b ON TRUE
+  GROUP BY c.vec_id
+)
+SELECT vec_id,
+       {portable_round_sql('msim', 4)} AS max_bench_sim,
+       CAST(CASE WHEN msim >= {threshold} THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM scored
+"""

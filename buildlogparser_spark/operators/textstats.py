@@ -63,9 +63,35 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_expr(text: Column) -> Column:
+    """The gated quality composite in [0, 1] over a raw text column (NULL →
+    empty document) — the scoring core of :func:`quality_score`, exposed as
+    a bare Column so other operators can rank arbitrary text with the SAME
+    heuristic (``sft.preference_pairs`` scores candidate responses with it).
+    Unrounded; callers apply their own ``portable_round``."""
+    text = F.coalesce(text, F.lit(""))
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_toks = F.size(toks)
+    en_stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(0.0)
+    return (
+        F.when(n_toks < 5, 0.0)
+        .otherwise(
+            0.4 * F.least(n_toks / F.lit(100.0), F.lit(1.0))
+            + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+            + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        )
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """(doc_id, …ratios…, quality): length/punctuation/stopword heuristics,
-    each a rounded double; quality = gated composite in [0, 1].
+    each a rounded double; quality = gated composite in [0, 1]
+    (:func:`quality_expr`).
 
     NULL text scores as the empty document (everything 0) — without the
     coalesce, NULL rode each engine's NULL-skipping ``least`` differently
@@ -87,14 +113,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
 
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
     stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(0.0)
-    quality = (
-        F.when(n_toks < 5, 0.0)
-        .otherwise(
-            0.4 * F.least(n_toks / F.lit(100.0), F.lit(1.0))
-            + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
-            + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
-        )
-    )
+    quality = quality_expr(F.col("text"))
     return documents.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_text"),
@@ -178,6 +197,18 @@ FROM {table}
 """
 
 
+def quality_case_sql(n_toks: str = "n_toks", stop_hits: str = "stop_hits",
+                     n_punct: str = "n_punct", n_chars: str = "n_chars") -> str:
+    """The quality composite as one SQL CASE over pre-staged count columns —
+    the DuckDB twin of :func:`quality_expr`, shared by ``quality_score_sql``
+    and ``sft.preference_pairs_sql`` so the two oracles cannot drift."""
+    return f"""CASE WHEN {n_toks} < 5 THEN 0.0 ELSE
+             0.4 * least({n_toks} / 100.0, 1.0)
+           + 0.3 * least((CAST({stop_hits} AS DOUBLE) / {n_toks}) * 5, 1.0)
+           + 0.3 * (1 - least((CASE WHEN {n_chars} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_chars} ELSE 0.0 END) * 10, 1.0))
+         END"""
+
+
 def quality_score_sql(table: str = "documents") -> str:
     stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
     return f"""
@@ -203,11 +234,7 @@ SELECT doc_id,
        {portable_round_sql('mean_word_len', 4)} AS mean_word_len,
        {portable_round_sql('punct_ratio', 4)} AS punct_ratio,
        {portable_round_sql('CASE WHEN n_toks > 0 THEN CAST(stop_hits AS DOUBLE) / n_toks ELSE 0.0 END', 4)} AS stopword_ratio,
-       {portable_round_sql('''CASE WHEN n_toks < 5 THEN 0.0 ELSE
-             0.4 * least(n_toks / 100.0, 1.0)
-           + 0.3 * least((CAST(stop_hits AS DOUBLE) / n_toks) * 5, 1.0)
-           + 0.3 * (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
-         END''', 4)} AS quality
+       {portable_round_sql(quality_case_sql(), 4)} AS quality
 FROM ratios
 """
 

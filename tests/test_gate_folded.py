@@ -21,11 +21,12 @@ FOLDED_NAMES = sorted(gate_folded.queries().keys())
 def test_graded_sweep_contract():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 64: the 61-entry round-5 registry (56 + sft/tfidf/dsir/c4/quality_clf
-    # + the as-of/range-join pair) with slim headroom — every addition must
-    # keep its oracle ≤~1 s at sf0.01 (the ENOMEM-exposure budget)
-    assert len(q) <= 64, f"graded sweep has {len(q)} entries (> 64)"
-    assert len(o) >= 56, f"only {len(o)} oracled entries (< 56)"
+    # 68: the 67-entry round-5 registry (61 + the final-session trio
+    # preference_pairs/semantic_decontaminate/corpus_drift) with slim
+    # headroom — every addition must keep its oracle ≤~1 s at sf0.01
+    # (the ENOMEM-exposure budget)
+    assert len(q) <= 68, f"graded sweep has {len(q)} entries (> 68)"
+    assert len(o) >= 64, f"only {len(o)} oracled entries (< 64)"
     assert set(o) <= set(q)
     # folded and graded registries are disjoint — a query lives in exactly one
     assert not set(q) & set(gate_folded.queries())
