@@ -275,14 +275,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DPO-style preference pairs: repeated prompts' responses deduped,
         # quality-ranked, best-vs-worst paired (round-5 final session)
         "preference_pairs": lambda spark, sf: sft.preference_pairs(
-            load_transcripts(spark, sf)),
+            load_transcripts(spark, sf), snapshot_key=sf),
         # embedding-level benchmark decontamination: max cosine of every
         # corpus vector against the broadcast benchmark set (map-only)
         "semantic_decontaminate": lambda spark, sf: sim.semantic_decontaminate(
             _emb(spark, sf)),
         # snapshot drift: per-(dim, bin) PSI between the two md5 halves of
         # the corpus, deterministic bin-ordered fold for the total
-        "corpus_drift": lambda spark, sf: drf.corpus_drift(_docs(spark, sf)),
+        "corpus_drift": lambda spark, sf: drf.corpus_drift(
+            _docs(spark, sf), snapshot_key=sf),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),

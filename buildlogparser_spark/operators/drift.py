@@ -43,7 +43,8 @@ from ..rounding import portable_round, portable_round_sql
 from .dedup import _md5_i64, _md5_i64_sql
 
 
-def corpus_drift(documents: DataFrame) -> DataFrame:
+def corpus_drift(documents: DataFrame,
+                 snapshot_key: str | None = None) -> DataFrame:
     """(dim, bin, ref_n, cur_n, ref_share, cur_share, psi_term, psi_total)
     for dim ∈ {lang, source} over the two md5(doc_id) snapshot halves.
 
@@ -51,6 +52,11 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
     'unknown'. ``ref_share``/``cur_share`` are the smoothed shares at 6 dp;
     ``psi_term`` is the bin's 6-dp PSI contribution; ``psi_total`` repeats
     the dimension's deterministic-fold total on every row of that dim.
+
+    The |bins|-row ``terms`` aggregate is snapshot-materialized before the
+    per-bin/total diamond — without it each branch re-runs the corpus scan
+    and hash-agg (plan audit: 2 full scans; the repo-wide diamond-root
+    defense). ``snapshot_key`` memoizes per (session, key); None → one-shot.
     """
     half = (_md5_i64(
         F.concat(F.lit("drift"), F.col("doc_id").cast("string"))) % 2
@@ -85,12 +91,17 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
         (F.col("cur_n") + 1) / (F.col("cur_tot") + F.col("kbins")), 9)
     ratio9 = portable_round(p9 / q9, 9)
     term9 = portable_round((p9 - q9) * F.log(ratio9), 9)
-    terms = tot.select(
-        "dim", "bin", "ref_n", "cur_n",
-        portable_round(p9, 6).alias("ref_share"),
-        portable_round(q9, 6).alias("cur_share"),
-        term9.alias("term9"),
-    )
+    from ..materialize import materialize
+
+    terms = materialize(
+        tot.select(
+            "dim", "bin", "ref_n", "cur_n",
+            portable_round(p9, 6).alias("ref_share"),
+            portable_round(q9, 6).alias("cur_share"),
+            term9.alias("term9"),
+        ),
+        key=f"driftterms:{snapshot_key}" if snapshot_key else None,
+        n_files=1)
     totals = (
         terms.groupBy("dim")
         .agg(F.sort_array(

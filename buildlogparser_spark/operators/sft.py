@@ -205,7 +205,8 @@ WHERE role = 'assistant'
 """
 
 
-def preference_pairs(transcripts: DataFrame) -> DataFrame:
+def preference_pairs(transcripts: DataFrame,
+                     snapshot_key: str | None = None) -> DataFrame:
     """(prompt_key, prompt, chosen, rejected, chosen_score, rejected_score,
     margin, n_candidates): DPO-style preference pairs constructed from
     repeated prompts.
@@ -232,7 +233,12 @@ def preference_pairs(transcripts: DataFrame) -> DataFrame:
     prompt), never O(corpus). The md5 group key distributes prompts evenly;
     a viral prompt with millions of DISTINCT responses is the residual skew
     axis and would be capped upstream exactly like
-    ``conversation_near_dups`` caps turns per conversation.
+    ``conversation_near_dups`` caps turns per conversation. The scored
+    candidate set is snapshot-materialized before the best/worst diamond —
+    without it Spark re-derives the whole sft_pairs window chain once per
+    branch (plan audit: 2 full transcript scans; the repo-wide
+    diamond-root defense, see curate/ccnet). ``snapshot_key`` memoizes the
+    snapshot per (session, key); None → one-shot temp snapshot.
 
     Reference analog: none (the reference is a diagnostics parser); this is
     a driver-brief training-data op.
@@ -247,8 +253,12 @@ def preference_pairs(transcripts: DataFrame) -> DataFrame:
         .groupBy("prompt_key", "response")
         .agg(F.min("prompt").alias("prompt"))
     )
-    scored = cand.withColumn(
-        "score", portable_round(quality_expr(F.col("response")), 4))
+    from ..materialize import materialize
+
+    scored = materialize(
+        cand.withColumn(
+            "score", portable_round(quality_expr(F.col("response")), 4)),
+        key=f"prefpairs-scored:{snapshot_key}" if snapshot_key else None)
     wp = Window.partitionBy("prompt_key")
     best_w = wp.orderBy(F.desc("score"), F.asc("response"))
     worst_w = wp.orderBy(F.asc("score"), F.desc("response"))
