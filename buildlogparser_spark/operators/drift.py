@@ -43,6 +43,51 @@ from ..rounding import portable_round, portable_round_sql
 from .dedup import _md5_i64, _md5_i64_sql
 
 
+def dim_bins(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(*keep, dim, bin): the shared lang/source unpivot — one row per
+    (document, dimension), NULL lang → 'und', NULL source → 'unknown'
+    (the ``unimax_weights`` convention). ``keep`` names pass-through
+    columns that must already exist on ``documents`` (corpus_drift carries
+    its snapshot ``half``; the streaming monitor carries nothing)."""
+    base = documents.select(
+        *keep,
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+    )
+    return base.select(
+        *keep,
+        F.explode(F.array(
+            F.struct(F.lit("lang").alias("dim"), F.col("lang").alias("bin")),
+            F.struct(F.lit("source").alias("dim"),
+                     F.col("source").alias("bin")),
+        )).alias("db"),
+    ).select(*keep, F.col("db.dim").alias("dim"), F.col("db.bin").alias("bin"))
+
+
+def psi_value(ref: dict[str, int], cur: dict[str, int]) -> float:
+    """Driver-side PSI between two bin→count histograms — the EXACT same
+    arithmetic as :func:`corpus_drift` (Laplace smoothing over the union
+    bin set, 9-dp portable rounding before/after ``ln``, bin-ordered
+    sequential fold, 6-dp total), reused by the streaming monitor and by
+    tests as an independent reference implementation."""
+    import math
+
+    def r(x: float, p: int) -> float:
+        s = 10 ** p
+        return math.floor(x * s + 0.5) / s
+
+    bins = sorted(set(ref) | set(cur))
+    k = len(bins)
+    rt = sum(ref.values())
+    ct = sum(cur.values())
+    total = 0.0
+    for b in bins:
+        p9 = r((ref.get(b, 0) + 1) / (rt + k), 9)
+        q9 = r((cur.get(b, 0) + 1) / (ct + k), 9)
+        total += r((p9 - q9) * math.log(r(p9 / q9, 9)), 9)
+    return r(total, 6)
+
+
 def corpus_drift(documents: DataFrame,
                  snapshot_key: str | None = None) -> DataFrame:
     """(dim, bin, ref_n, cur_n, ref_share, cur_share, psi_term, psi_total)
@@ -61,19 +106,7 @@ def corpus_drift(documents: DataFrame,
     half = (_md5_i64(
         F.concat(F.lit("drift"), F.col("doc_id").cast("string"))) % 2
     ).alias("half")
-    base = documents.select(
-        half,
-        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
-        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
-    )
-    pairs = base.select(
-        "half",
-        F.explode(F.array(
-            F.struct(F.lit("lang").alias("dim"), F.col("lang").alias("bin")),
-            F.struct(F.lit("source").alias("dim"),
-                     F.col("source").alias("bin")),
-        )).alias("db"),
-    ).select("half", F.col("db.dim").alias("dim"), F.col("db.bin").alias("bin"))
+    pairs = dim_bins(documents.select(half, "lang", "source"), keep=("half",))
     counts = pairs.groupBy("dim", "bin").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
         .cast("long").alias("ref_n"),
