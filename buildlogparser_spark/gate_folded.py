@@ -14,8 +14,10 @@ ivfpq_topk, semantic_dedup_representative) once MATERIALIZED k-means
 assignment CTEs made their oracles sweep-cheap; later round-5 sessions
 added graded-first ops (sft_pairs, tfidf_top_terms, dsir_weights,
 c4_clean, quality_classifier, the as-of/range temporal pair,
-dup_span_removal, tool_call_loops, context_windows) taking the graded
-sweep to its 64-entry contract cap (61 oracled + 3 rows-only).
+dup_span_removal, tool_call_loops, context_windows, and the
+final-session trio preference_pairs / semantic_decontaminate /
+corpus_drift) taking the graded sweep to 67 entries (64 oracled +
+3 rows-only) under its 68-entry contract cap.
 Every remaining twin/sibling
 query lives HERE: same Spark callable, same DuckDB oracle SQL, compared
 value-for-value by ``tests/test_gate_folded.py`` through the identical
