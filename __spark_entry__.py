@@ -17,7 +17,7 @@ DuckDB process with no Spark JVM co-resident at all (first statement of the
 session ENOMEM'd; immediate rerun clean), confirming the failure is
 time/exposure-dependent, not pressure-dependent. Defenses here:
 
-* ``queries()`` is 67 entries (64 oracled + 3 rows-only): the r04
+* ``queries()`` is 68 entries (65 oracled + 3 rows-only): the r04
   consolidation kept 40; round 5 promoted the six flagship LLM-pipeline
   ops (pii_redact, repetition_stats, bigram_lm_score, semantic_dedup,
   ivf_topk, curation_pipeline) back into the graded sweep now that the
@@ -28,8 +28,8 @@ time/exposure-dependent, not pressure-dependent. Defenses here:
   materializing the twice-consumed k-means assignment CTEs cut the
   PQ/IVF oracle chains 4-15× (every added oracle ≤~0.8 s at sf0.01,
   ~+3 s total sweep exposure); later sessions added graded-first ops
-  through the final trio (preference_pairs, semantic_decontaminate,
-  corpus_drift). Every remaining twin/sibling query stays in
+  through the final additions (preference_pairs, semantic_decontaminate,
+  corpus_drift, weighted_sample). Every remaining twin/sibling query stays in
   ``buildlogparser_spark/gate_folded.py`` where ``tests/test_gate_folded.py``
   runs the SAME Spark-vs-DuckDB value compare the driver does — nothing
   lost but the scoreboard row.
@@ -133,7 +133,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """64 entries: 61 DuckDB-oracled, then 3 rows-only (their Python workers
+    """68 entries: 65 DuckDB-oracled, then 3 rows-only (their Python workers
     run after the oracle portion is done). Training-data ops run early —
     see the module docstring for the consolidation rationale; the folded
     twin/sibling queries live in buildlogparser_spark/gate_folded.py."""
@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the corpus, deterministic bin-ordered fold for the total
         "corpus_drift": lambda spark, sf: drf.corpus_drift(
             _docs(spark, sf), snapshot_key=sf),
+        # derandomized Efraimidis-Spirakis weighted sampling: top-k by
+        # ln(u)/w over quality weights (global top-k, never a full sort)
+        "weighted_sample": lambda spark, sf: cf.weighted_sample(
+            _docs(spark, sf), k=50),
         # --- reference aggregates (oracled) ---------------------------------
         "severity_counts": lambda spark, sf: agg.severity_counts(_diags(spark, sf)),
         "category_counts": lambda spark, sf: agg.category_counts(_diags(spark, sf)),
@@ -439,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": sft.preference_pairs_sql(TRANSCRIPT_SQL),
         "semantic_decontaminate": sim.semantic_decontaminate_sql(),
         "corpus_drift": drf.corpus_drift_sql(),
+        "weighted_sample": cf.weighted_sample_sql(k=50),
         "severity_counts": f"""
             SELECT count(*) AS total_count,
                    CAST(coalesce(sum(CASE WHEN severity='error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count,

@@ -44,8 +44,8 @@ from buildlogparser_spark.operators.assemble import (  # noqa: E402
 from buildlogparser_spark.operators.enrich import enrich  # noqa: E402
 from buildlogparser_spark.operators.route import route_writes  # noqa: E402
 from buildlogparser_spark.operators import (  # noqa: E402
-    c4, curate, dedup, drift, dsir, quality_clf, sft, similarity, spans,
-    temporal, textstats)
+    c4, corpus_filters, curate, dedup, drift, dsir, quality_clf, sft,
+    similarity, spans, temporal, textstats)
 from buildlogparser_spark.rules.table import default_stack  # noqa: E402
 
 
@@ -231,6 +231,10 @@ def main() -> None:
               lambda: similarity.semantic_decontaminate(embeddings).count())
         timed("q30_corpus_drift",
               lambda: drift.corpus_drift(documents).count())
+        timed("q31_weighted_sample",
+              lambda: corpus_filters.weighted_sample(documents).count())
+        timed("q32_token_entropy",
+              lambda: textstats.token_entropy(documents).count())
 
         flagship = queries.get("q1_flagship_pipeline", 0.0)
         total = round(sum(queries.values()), 3)
@@ -245,7 +249,8 @@ def main() -> None:
                                 "q25_dup_span_removal", "q26_tool_call_loops",
                                 "q27_context_windows", "q28_preference_pairs",
                                 "q29_semantic_decontaminate",
-                                "q30_corpus_drift")}
+                                "q30_corpus_drift", "q31_weighted_sample",
+                                "q32_token_entropy")}
         # the r02-comparable figure must use r02's methodology: the hot set
         # there was min-of-3, so take the min of this run's FIRST three reps
         # (not min-of-9 — more reps monotonically lowers the min on a noisy

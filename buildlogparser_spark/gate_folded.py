@@ -15,9 +15,9 @@ assignment CTEs made their oracles sweep-cheap; later round-5 sessions
 added graded-first ops (sft_pairs, tfidf_top_terms, dsir_weights,
 c4_clean, quality_classifier, the as-of/range temporal pair,
 dup_span_removal, tool_call_loops, context_windows, and the
-final-session trio preference_pairs / semantic_decontaminate /
-corpus_drift) taking the graded sweep to 67 entries (64 oracled +
-3 rows-only) under its 68-entry contract cap.
+final-session additions preference_pairs / semantic_decontaminate /
+corpus_drift / weighted_sample) taking the graded sweep to 68 entries
+(65 oracled + 3 rows-only) at its contract cap.
 Every remaining twin/sibling
 query lives HERE: same Spark callable, same DuckDB oracle SQL, compared
 value-for-value by ``tests/test_gate_folded.py`` through the identical
@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings: bigram_lm_score + lang_id carry the component gate rows)
         "ccnet_buckets": lambda spark, sf: lm.ccnet_buckets(
             _docs(spark, sf), snapshot_key=sf),
+        # per-doc token-distribution Shannon entropy (repetitiveness /
+        # information-density signal; graded siblings: repetition_stats
+        # and quality_score carry the text-quality gate rows)
+        "token_entropy": lambda spark, sf: ts.token_entropy(_docs(spark, sf)),
         # incremental ingest dedup: incoming snapshot half judged against
         # the existing half (exact digest join + cross-half band-bucket
         # join on the SAME banded snapshot key as graded lsh_candidates);
@@ -273,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_weights": cf.unimax_weights_sql(),
         "split_assign": cf.split_assign_sql(),
         "split_leakage": cf.split_leakage_sql(),
+        "token_entropy": ts.token_entropy_sql(),
         "cross_snapshot_dedup": dd.cross_snapshot_dedup_sql(
             table="(" + dd.inject_snapshot_dups_sql() + ")"),
         # identical oracles to the graded siblings: the physical plan is the

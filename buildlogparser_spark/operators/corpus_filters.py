@@ -758,3 +758,91 @@ SELECT lang, n_tokens, cap_tokens,
        {portable_round_sql(f"CASE WHEN {denom} > 0 THEN ({alloc}) / ({denom}) ELSE 0.0 END", 6)} AS weight
 FROM final
 """
+
+
+def weighted_sample(documents: DataFrame, k: int = 100) -> DataFrame:
+    """(doc_id, weight, samp_key, rank): derandomized weighted sampling
+    without replacement — the top-``k`` documents under the
+    Efraimidis-Spirakis A-ES scheme (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir", public IPL paper):
+    draw u_i ~ U(0,1], take the k largest u_i^(1/w_i). Sampling
+    proportional to a per-document weight is the standard quality-biased
+    subcorpus draw (the DSIR/quality-classifier selection step when a
+    fixed-size subcorpus is wanted rather than a threshold).
+
+    Derandomized: u = (md5('ws'||doc_id) + 1) / 2^60 — engine-identical
+    by construction (both engines make the same nearest-double conversion
+    of the 60-bit integer, then an exact power-of-two division), seeded
+    by doc_id so the draw is reproducible and growth-stable (the
+    corpus_sample property). Ranking uses ln(u)/w, monotone in u^(1/w) without the
+    cross-engine ``pow``; ln's ≤1-ulp libm divergence is absorbed by 9-dp
+    portable rounding before AND after the divide (the drift/quality_clf
+    convention). Weight = the shared quality composite
+    (:func:`~.textstats.quality_expr`, 4 dp); docs with weight ≤ 0 can
+    never be sampled and are excluded before ranking.
+
+    Scale shape (10^12 docs): one scan computing (weight, key), then a
+    global top-k on the key — TakeOrdered/WindowGroupLimit territory, a
+    per-partition heap + k-row final merge, never a global sort of the
+    corpus; the rank window runs over the k-row result only.
+    """
+    from .textstats import quality_expr
+
+    u = ((_md5_i64(F.concat(F.lit("ws"), F.col("doc_id").cast("string")))
+          + 1) / F.lit(float(1 << 60)))
+    weight = portable_round(quality_expr(F.col("text")), 4)
+    key = portable_round(
+        portable_round(F.log(u), 9) / F.col("weight"), 9)
+    scored = (documents
+              .select("doc_id", weight.alias("weight"))
+              .filter(F.col("weight") > 0)
+              .withColumn("samp_key", key))
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.desc("samp_key"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("samp_key"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "weight",
+                    portable_round(F.col("samp_key"), 6).alias("samp_key"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def weighted_sample_sql(table: str = "documents", k: int = 100) -> str:
+    """DuckDB twin: same staged quality CASE, same exact-u construction,
+    same doubly-rounded ln(u)/w ranking."""
+    from .textstats import LANG_MARKERS, quality_case_sql
+
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    toks = TOKENS_SQL.format(c="rt")
+    salted = "'ws' || CAST(doc_id AS VARCHAR)"
+    u = (f"(CAST({_md5_i64_sql(salted)} AS DOUBLE) + 1) "
+         f"/ {float(1 << 60)!r}")
+    key = portable_round_sql(
+        f"{portable_round_sql(f'ln({u})', 9)} / weight", 9)
+    return f"""
+WITH qbase AS (
+  SELECT doc_id,
+         length(rt) AS n_chars,
+         {toks} AS toks,
+         length(rt) - length(regexp_replace(rt, '[.,;:!?]', '', 'g')) AS n_punct
+  FROM (SELECT doc_id, coalesce(text, '') AS rt FROM {table}) b
+),
+scored AS (
+  SELECT doc_id, {portable_round_sql(quality_case_sql(), 4)} AS weight
+  FROM (SELECT *, len(toks) AS n_toks,
+               len(list_filter(toks, t -> list_contains([{stop}], t))) AS stop_hits
+        FROM qbase) s
+),
+keyed AS (
+  SELECT doc_id, weight, {key} AS samp_key
+  FROM scored WHERE weight > 0
+),
+ranked AS (
+  SELECT doc_id, weight, samp_key,
+         row_number() OVER (ORDER BY samp_key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT doc_id, weight, {portable_round_sql('samp_key', 6)} AS samp_key,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -356,3 +356,112 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
        CAST(doc_freq AS BIGINT) AS doc_freq, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, entropy, norm_entropy):
+    Shannon entropy of each document's token frequency distribution —
+    the information-density / repetitiveness signal (low entropy =
+    repetitive boilerplate; the classic complement to the Gopher
+    repetition ratios and the compression-ratio heuristics of
+    web-corpus filtering, e.g. Rae et al. 2021 §A1).
+
+        entropy = −Σ_t (c_t/n)·ln(c_t/n)        (natural log, 6 dp)
+        norm_entropy = entropy / ln(n_distinct)  (∈ [0,1]; 0 when ≤1
+                                                  distinct token)
+
+    Cross-engine determinism: each token's term is 9-dp-rounded around
+    ``ln`` (the drift/quality_clf libm convention) and the per-document
+    sum is a TOKEN-ORDERED sequential fold — safe collation-wise because
+    :func:`~.dedup.tokens` emits only ``[a-z0-9]+`` strings. Docs with
+    no tokens (NULL/empty/symbol-only text) emit the zero row rather
+    than vanishing.
+
+    Scale shape (10^12 docs): one explode scan → (doc, token) hash-agg
+    (map-side combinable) → per-doc fold bounded by the doc's distinct
+    token count — the repetition_stats shape; the zero-row completion is
+    a left join against the doc_id projection only.
+    """
+    toks = tokens(F.col("text"))
+    pairs = documents.select(
+        "doc_id", F.explode(toks).alias("tok"))
+    counts = pairs.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sort_array(F.collect_list(F.struct("tok", "c"))).alias("tl"),
+    )
+
+    def term(n):
+        # p9 = 9-dp share; term = 9-dp p·ln(p); fold order is the sorted
+        # struct array (token asc), summed sequentially from 0.0
+        return lambda acc, s: acc + portable_round(
+            portable_round(s["c"] / n, 9)
+            * F.log(portable_round(s["c"] / n, 9)), 9)
+
+    ent9 = -F.aggregate(F.col("tl"), F.lit(0.0), term(F.col("n")))
+    norm = F.when(
+        F.col("n_distinct") > 1,
+        portable_round(ent9 / portable_round(
+            F.log(F.col("n_distinct").cast("double")), 9), 6),
+    ).otherwise(0.0)
+    scored = per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct_tokens"),
+        portable_round(ent9, 6).alias("entropy"),
+        norm.alias("norm_entropy"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0))
+            .alias("n_distinct_tokens"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+            F.coalesce("norm_entropy", F.lit(0.0)).alias("norm_entropy"),
+        )
+    )
+
+
+def token_entropy_sql(table: str = "documents") -> str:
+    """DuckDB twin: unnest → (doc, token) counts → token-ordered
+    list_reduce fold with the identical double rounding."""
+    p9 = portable_round_sql("CAST(c AS DOUBLE) / n", 9)
+    term9 = portable_round_sql(f"{p9} * ln({p9})", 9)
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM {table}
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM pairs GROUP BY doc_id, tok
+),
+with_n AS (
+  -- the per-doc total must exist per (doc, token) ROW before the fold
+  -- aggregates; a same-SELECT alias cannot feed the list() argument
+  SELECT doc_id, tok, c, sum(c) OVER (PARTITION BY doc_id) AS n
+  FROM counts
+),
+per_doc AS (
+  SELECT doc_id, max(n) AS n, count(*) AS n_distinct,
+         -- 0.0 seed + sequential fold in token order == the Spark
+         -- aggregate over the sorted struct array
+         coalesce(list_reduce(
+             list_prepend(0.0, list({term9} ORDER BY tok)),
+             (a, b) -> a + b), 0.0) AS negent
+  FROM with_n GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct_tokens,
+       coalesce({portable_round_sql('-p.negent', 6)}, 0.0) AS entropy,
+       coalesce(CASE WHEN p.n_distinct > 1 THEN
+           {portable_round_sql(
+               "(-p.negent) / (" + portable_round_sql(
+                   "ln(CAST(p.n_distinct AS DOUBLE))", 9) + ")", 6)}
+         ELSE 0.0 END, 0.0) AS norm_entropy
+FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

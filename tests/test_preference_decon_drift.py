@@ -168,3 +168,87 @@ def test_corpus_drift_null_lang_and_source_bins(spark):
         "doc_id: long, text: string, lang: string, source: string")
     out = {(r.dim, r.bin) for r in drift.corpus_drift(df).collect()}
     assert out == {("lang", "und"), ("source", "unknown")}
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling + token entropy (same final-session tranche)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_independent_recomputation(spark):
+    """The A-ES draw replayed in pure Python (hashlib + math) over a small
+    corpus must produce the identical top-k, weights and keys."""
+    from buildlogparser_spark.operators import corpus_filters as cf
+    from buildlogparser_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(i, f"the cat and the dog number {i} went to the market "
+             * ((i % 3) + 1)) for i in range(30)]
+        + [(97, "x!"), (98, None)],  # weight 0 / NULL text: never sampled
+        "doc_id: long, text: string")
+    out = cf.weighted_sample(docs, k=5).collect()
+
+    # independent recomputation: weights from the op's own quality column
+    # (already fixture-pinned elsewhere), u and key from first principles
+    weights = {r.doc_id: r.quality
+               for r in ts.quality_score(docs).collect() if r.quality > 0}
+    assert 97 not in weights and 98 not in weights
+
+    def r9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    keys = {}
+    for did, w in weights.items():
+        h = int(hashlib.md5(f"ws{did}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        keys[did] = r9(r9(math.log(u)) / w)
+    expect = sorted(keys, key=lambda d: (-keys[d], d))[:5]
+    assert [r.doc_id for r in out] == expect
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    for r in out:
+        assert r.weight == weights[r.doc_id]
+        assert r.samp_key == math.floor(keys[r.doc_id] * 1e6 + 0.5) / 1e6
+
+
+def test_weighted_sample_zero_weight_never_sampled(spark):
+    """With k larger than the corpus, every positive-weight doc appears
+    and every gated-to-zero doc does not — weight ≤ 0 is an exclusion,
+    not just a low probability."""
+    from buildlogparser_spark.operators import corpus_filters as cf
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog went to the market for food"),
+         (2, "shrt"), (3, None)],
+        "doc_id: long, text: string")
+    out = cf.weighted_sample(docs, k=10).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_token_entropy_hand_values(spark):
+    """Uniform two-token doc = ln 2 (norm 1.0); constant doc = 0 (norm 0);
+    empty/NULL docs emit the zero row; a 3:1 skewed doc matches the
+    hand-evaluated formula under the op's rounding discipline."""
+    from buildlogparser_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa aa aa"), (3, ""), (4, None),
+         (5, "aa aa aa bb")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: r for r in ts.token_entropy(docs).collect()}
+
+    def r(x, p):
+        return math.floor(x * 10 ** p + 0.5) / 10 ** p
+
+    ln2 = r(r(0.5, 9) * math.log(r(0.5, 9)), 9) * 2
+    assert out[1].n_tokens == 4 and out[1].n_distinct_tokens == 2
+    assert out[1].entropy == r(-ln2, 6)
+    assert out[1].norm_entropy == r(-ln2 / r(math.log(2.0), 9), 6)
+    assert out[2].entropy == 0.0 and out[2].norm_entropy == 0.0
+    for d in (3, 4):
+        assert (out[d].n_tokens, out[d].n_distinct_tokens,
+                out[d].entropy, out[d].norm_entropy) == (0, 0, 0.0, 0.0)
+    t75 = r(r(0.75, 9) * math.log(r(0.75, 9)), 9)
+    t25 = r(r(0.25, 9) * math.log(r(0.25, 9)), 9)
+    assert out[5].entropy == r(-(t75 + t25), 6)
+    # skewed < uniform for the same distinct count
+    assert out[5].entropy < out[1].entropy
