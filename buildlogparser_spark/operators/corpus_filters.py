@@ -810,32 +810,23 @@ def weighted_sample(documents: DataFrame, k: int = 100) -> DataFrame:
 def weighted_sample_sql(table: str = "documents", k: int = 100) -> str:
     """DuckDB twin: same staged quality CASE, same exact-u construction,
     same doubly-rounded ln(u)/w ranking."""
-    from .textstats import LANG_MARKERS, quality_case_sql
+    from .textstats import quality_select_sql
 
-    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
-    toks = TOKENS_SQL.format(c="rt")
+    # CAST the BIGINT sum h+1 (not CAST(h)+1.0): Spark/Python convert h+1
+    # to double in one step, and double(h)+1.0 differs by 1 ulp for ~2.5%
+    # of ids above 2^53 (review finding, round-5 final session)
     salted = "'ws' || CAST(doc_id AS VARCHAR)"
-    u = (f"(CAST({_md5_i64_sql(salted)} AS DOUBLE) + 1) "
+    u = (f"(CAST(({_md5_i64_sql(salted)}) + 1 AS DOUBLE)) "
          f"/ {float(1 << 60)!r}")
     key = portable_round_sql(
-        f"{portable_round_sql(f'ln({u})', 9)} / weight", 9)
+        f"{portable_round_sql(f'ln({u})', 9)} / score", 9)
     return f"""
-WITH qbase AS (
-  SELECT doc_id,
-         length(rt) AS n_chars,
-         {toks} AS toks,
-         length(rt) - length(regexp_replace(rt, '[.,;:!?]', '', 'g')) AS n_punct
-  FROM (SELECT doc_id, coalesce(text, '') AS rt FROM {table}) b
-),
-scored AS (
-  SELECT doc_id, {portable_round_sql(quality_case_sql(), 4)} AS weight
-  FROM (SELECT *, len(toks) AS n_toks,
-               len(list_filter(toks, t -> list_contains([{stop}], t))) AS stop_hits
-        FROM qbase) s
+WITH scored AS (
+  {quality_select_sql(table, ['doc_id'], 'text')}
 ),
 keyed AS (
-  SELECT doc_id, weight, {key} AS samp_key
-  FROM scored WHERE weight > 0
+  SELECT doc_id, score AS weight, {key} AS samp_key
+  FROM scored WHERE score > 0
 ),
 ranked AS (
   SELECT doc_id, weight, samp_key,

@@ -839,10 +839,21 @@ def cross_snapshot_dedup(documents: DataFrame, num_hashes: int = 32,
     ``snapshot_key``) — never an all-pairs comparison, and the incoming
     side never joins itself.
     """
-    half = (_md5_i64(
-        F.concat(F.lit("snap"), F.col("doc_id").cast("string"))) % 2)
-    halves = documents.select("doc_id", half.alias("half"),
-                              F.md5(F.col("text")).alias("digest"))
+    def half_of(doc_id: Column) -> Column:
+        return _md5_i64(
+            F.concat(F.lit("snap"), doc_id.cast("string"))) % 2
+
+    from ..materialize import materialize
+
+    # halves feeds three consumers (incoming output rows, the exact join's
+    # both sides); unmaterialized, each branch re-scans the corpus and
+    # recomputes both md5s — the diamond-root shape this repo snapshots
+    # everywhere else, and what the SQL twin's MATERIALIZED CTE already
+    # does (review finding, round-5 final session)
+    halves = materialize(
+        documents.select("doc_id", half_of(F.col("doc_id")).alias("half"),
+                         F.md5(F.col("text")).alias("digest")),
+        key=f"snaphalves:{snapshot_key}" if snapshot_key else None)
     incoming = halves.filter(F.col("half") == 1)
     existing = halves.filter(F.col("half") == 0)
     exact_hits = (
@@ -852,7 +863,9 @@ def cross_snapshot_dedup(documents: DataFrame, num_hashes: int = 32,
         .withColumn("is_exact", F.lit(True)))
     banded = banded_signatures(documents, num_hashes, bands, shingle_k,
                                snapshot_key)
-    hb = banded.join(halves.select("doc_id", "half"), "doc_id")
+    # half is functional on doc_id — derive it on the banded snapshot rows
+    # directly instead of a corpus-sized join (same review finding)
+    hb = banded.withColumn("half", half_of(F.col("doc_id")))
     near_hits = (
         hb.filter(F.col("half") == 1).alias("i")
         .join(hb.filter(F.col("half") == 0).alias("e"),

@@ -17,13 +17,18 @@ Shares are Laplace-smoothed — p_b = (n_b + 1) / (N_half + K), K = the
 dimension's bin count over BOTH halves — so a bin present in only one
 half contributes a finite term instead of ln(0).
 
-Cross-engine determinism: shares are 9-dp portable-rounded before the
-``ln`` (both engines then evaluate libm log on the SAME double; the ≤1-ulp
-result divergence is absorbed by 9-dp-rounding each term — the
-``quality_clf`` sigmoid convention), and ``psi_total`` is a bin-ordered
-sequential fold over the dimension's term list (``sort_array`` +
-``aggregate`` / ``list(... ORDER BY bin)`` + ``list_reduce``), never an
-unordered float sum.
+Cross-engine determinism: the smoothed shares and their ratio are plain
+IEEE754 arithmetic over identical integer counts — identical doubles in
+both engines with NO pre-rounding (rounding the share to 9 dp before the
+``ln`` would collapse a sub-5e-10 share to exactly 0 at the 10^12-doc
+scale this docstring advertises, turning the term into ln(0): NULL in
+Spark, -inf in DuckDB — review finding, round-5 final session). Only the
+``ln`` RESULT is 9-dp-rounded (the ≤1-ulp libm divergence, the
+``quality_clf`` sigmoid convention), each term is 9-dp-rounded, and
+``psi_total`` is a bin-ordered sequential fold over the dimension's term
+list (``sort_array`` + ``aggregate`` / ``list(... ORDER BY bin)`` +
+``list_reduce``), never an unordered float sum. Smoothed shares are
+strictly positive by construction, so ``ln`` is always finite.
 
 Scale shape (10^12 docs): ONE corpus scan → a (dim, bin, half) hash-agg
 with map-side partial counts; every window/join after that runs over the
@@ -67,9 +72,10 @@ def dim_bins(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
 def psi_value(ref: dict[str, int], cur: dict[str, int]) -> float:
     """Driver-side PSI between two bin→count histograms — the EXACT same
     arithmetic as :func:`corpus_drift` (Laplace smoothing over the union
-    bin set, 9-dp portable rounding before/after ``ln``, bin-ordered
-    sequential fold, 6-dp total), reused by the streaming monitor and by
-    tests as an independent reference implementation."""
+    bin set, exact shares, 9-dp portable rounding of the ``ln`` result and
+    of each term, bin-ordered sequential fold, 6-dp total), reused by the
+    streaming monitor and by tests as an independent reference
+    implementation."""
     import math
 
     def r(x: float, p: int) -> float:
@@ -82,9 +88,9 @@ def psi_value(ref: dict[str, int], cur: dict[str, int]) -> float:
     ct = sum(cur.values())
     total = 0.0
     for b in bins:
-        p9 = r((ref.get(b, 0) + 1) / (rt + k), 9)
-        q9 = r((cur.get(b, 0) + 1) / (ct + k), 9)
-        total += r((p9 - q9) * math.log(r(p9 / q9, 9)), 9)
+        p = (ref.get(b, 0) + 1) / (rt + k)
+        q = (cur.get(b, 0) + 1) / (ct + k)
+        total += r((p - q) * r(math.log(p / q), 9), 9)
     return r(total, 6)
 
 
@@ -118,19 +124,16 @@ def corpus_drift(documents: DataFrame,
            .withColumn("ref_tot", F.sum("ref_n").over(wd))
            .withColumn("cur_tot", F.sum("cur_n").over(wd))
            .withColumn("kbins", F.count("*").over(wd)))
-    p9 = portable_round(
-        (F.col("ref_n") + 1) / (F.col("ref_tot") + F.col("kbins")), 9)
-    q9 = portable_round(
-        (F.col("cur_n") + 1) / (F.col("cur_tot") + F.col("kbins")), 9)
-    ratio9 = portable_round(p9 / q9, 9)
-    term9 = portable_round((p9 - q9) * F.log(ratio9), 9)
+    p = (F.col("ref_n") + 1) / (F.col("ref_tot") + F.col("kbins"))
+    q = (F.col("cur_n") + 1) / (F.col("cur_tot") + F.col("kbins"))
+    term9 = portable_round((p - q) * portable_round(F.log(p / q), 9), 9)
     from ..materialize import materialize
 
     terms = materialize(
         tot.select(
             "dim", "bin", "ref_n", "cur_n",
-            portable_round(p9, 6).alias("ref_share"),
-            portable_round(q9, 6).alias("cur_share"),
+            portable_round(p, 6).alias("ref_share"),
+            portable_round(q, 6).alias("cur_share"),
             term9.alias("term9"),
         ),
         key=f"driftterms:{snapshot_key}" if snapshot_key else None,
@@ -156,16 +159,15 @@ def corpus_drift(documents: DataFrame,
 
 
 def corpus_drift_sql(table: str = "documents") -> str:
-    """DuckDB twin: same halves, same UNION-ALL unpivot, same smoothed
-    9-dp shares → ln → 9-dp terms → bin-ordered list_reduce total."""
+    """DuckDB twin: same halves, same UNION-ALL unpivot, same exact
+    smoothed shares → 9-dp-rounded ln → 9-dp terms → bin-ordered
+    list_reduce total."""
     salted = "'drift' || CAST(doc_id AS VARCHAR)"
     half = f"{_md5_i64_sql(salted)} % 2"
-    p9 = portable_round_sql(
-        "(ref_n + 1) / CAST(ref_tot + kbins AS DOUBLE)", 9)
-    q9 = portable_round_sql(
-        "(cur_n + 1) / CAST(cur_tot + kbins AS DOUBLE)", 9)
-    ratio9 = portable_round_sql("p9 / q9", 9)
-    term9 = portable_round_sql(f"(p9 - q9) * ln({ratio9})", 9)
+    p = "(ref_n + 1) / CAST(ref_tot + kbins AS DOUBLE)"
+    q = "(cur_n + 1) / CAST(cur_tot + kbins AS DOUBLE)"
+    ln9 = portable_round_sql("ln(p / q)", 9)
+    term9 = portable_round_sql(f"(p - q) * ({ln9})", 9)
     return f"""
 WITH base AS MATERIALIZED (
   SELECT {half} AS half,
@@ -191,10 +193,10 @@ tot AS (
   FROM counts
 ),
 shares AS (
-  SELECT dim, bin, ref_n, cur_n, {p9} AS p9, {q9} AS q9 FROM tot
+  SELECT dim, bin, ref_n, cur_n, {p} AS p, {q} AS q FROM tot
 ),
 terms AS (
-  SELECT dim, bin, ref_n, cur_n, p9, q9, {term9} AS term9 FROM shares
+  SELECT dim, bin, ref_n, cur_n, p, q, {term9} AS term9 FROM shares
 ),
 totals AS (
   SELECT dim,
@@ -204,8 +206,8 @@ totals AS (
   FROM terms GROUP BY dim
 )
 SELECT t.dim, t.bin, t.ref_n, t.cur_n,
-       {portable_round_sql('t.p9', 6)} AS ref_share,
-       {portable_round_sql('t.q9', 6)} AS cur_share,
+       {portable_round_sql('t.p', 6)} AS ref_share,
+       {portable_round_sql('t.q', 6)} AS cur_share,
        {portable_round_sql('t.term9', 6)} AS psi_term,
        tt.psi_total AS psi_total
 FROM terms t JOIN totals tt ON t.dim = tt.dim

@@ -291,11 +291,9 @@ def preference_pairs_sql(transcript_sql: str) -> str:
     (prompt_key, response) dedupe hash-agg, the shared quality CASE
     (:func:`~.textstats.quality_case_sql`), and the same two row_number
     rankings joined back at rank 1."""
-    from .dedup import TOKENS_SQL, _md5_i64_sql
-    from .textstats import LANG_MARKERS, quality_case_sql
+    from .dedup import _md5_i64_sql
+    from .textstats import quality_select_sql
 
-    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
-    toks = TOKENS_SQL.format(c="rt")
     return f"""
 WITH sft AS MATERIALIZED ({sft_pairs_sql(transcript_sql)}),
 cand AS MATERIALIZED (
@@ -303,19 +301,9 @@ cand AS MATERIALIZED (
          min(prompt) AS prompt
   FROM sft GROUP BY 1, 2
 ),
-qbase AS (
-  SELECT prompt_key, prompt, response,
-         length(rt) AS n_chars,
-         {toks} AS toks,
-         length(rt) - length(regexp_replace(rt, '[.,;:!?]', '', 'g')) AS n_punct
-  FROM (SELECT *, coalesce(response, '') AS rt FROM cand) b
-),
 scored AS (
-  SELECT prompt_key, prompt, response,
-         {portable_round_sql(quality_case_sql(), 4)} AS score
-  FROM (SELECT *, len(toks) AS n_toks,
-               len(list_filter(toks, t -> list_contains([{stop}], t))) AS stop_hits
-        FROM qbase) s
+  {quality_select_sql('cand', ['prompt_key', 'prompt', 'response'],
+                      'response')}
 ),
 ranked AS (
   SELECT prompt_key, prompt, response, score,

@@ -209,6 +209,24 @@ def quality_case_sql(n_toks: str = "n_toks", stop_hits: str = "stop_hits",
          END"""
 
 
+def quality_select_sql(src: str, carry: list[str], text_col: str) -> str:
+    """``SELECT {carry}, score FROM …`` — the 4-dp quality composite over
+    ``src``'s ``text_col``, with the STAGING (NULL coalesce, token split,
+    punct regex, stopword list) defined once. The preference_pairs and
+    weighted_sample oracles both consume this, so the staging cannot drift
+    between hand-rolled copies while :func:`quality_case_sql` alone stays
+    shared (review finding, round-5 final session)."""
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    toks = TOKENS_SQL.format(c="rt")
+    cols = ", ".join(carry)
+    return f"""SELECT {cols}, {portable_round_sql(quality_case_sql(), 4)} AS score
+  FROM (SELECT *, len(toks) AS n_toks,
+               len(list_filter(toks, t -> list_contains([{stop}], t))) AS stop_hits
+        FROM (SELECT {cols}, length(rt) AS n_chars, {toks} AS toks,
+                     length(rt) - length(regexp_replace(rt, '[.,;:!?]', '', 'g')) AS n_punct
+              FROM (SELECT *, coalesce({text_col}, '') AS rt FROM {src}) b) q) s"""
+
+
 def quality_score_sql(table: str = "documents") -> str:
     stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
     return f"""

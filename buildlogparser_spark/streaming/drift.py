@@ -63,12 +63,10 @@ def stream_drift_monitor(doc_stream: DataFrame,
     swaps in a metrics-table writer — the contract is the emitted tuples,
     not the transport."""
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        hist: dict[str, dict[str, int]] = {}
-        for r in (dim_bins(batch_df).groupBy("dim", "bin")
-                  .agg(F.count("*").alias("n")).collect()):
-            hist.setdefault(r["dim"], {})[r["bin"]] = r["n"]
+        # the batch profile is computed by the SAME function as the
+        # reference profile — a drift monitor whose two histograms can
+        # drift from each other measures nothing (review finding)
+        hist = reference_histogram(batch_df)
         for dim in sorted(set(reference) | set(hist)):
             psi = psi_value(reference.get(dim, {}), hist.get(dim, {}))
             on_result(batch_id, dim, psi, psi >= threshold)

@@ -21,10 +21,10 @@ FOLDED_NAMES = sorted(gate_folded.queries().keys())
 def test_graded_sweep_contract():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 68: the 67-entry round-5 registry (61 + the final-session trio
-    # preference_pairs/semantic_decontaminate/corpus_drift) with slim
-    # headroom — every addition must keep its oracle ≤~1 s at sf0.01
-    # (the ENOMEM-exposure budget)
+    # 68: the 68-entry round-5 registry (61 + the final-session additions
+    # preference_pairs/semantic_decontaminate/corpus_drift/weighted_sample,
+    # 65 oracled) — at the cap; every addition must keep its oracle
+    # ≤~1 s at sf0.01 (the ENOMEM-exposure budget)
     assert len(q) <= 68, f"graded sweep has {len(q)} entries (> 68)"
     assert len(o) >= 64, f"only {len(o)} oracled entries (< 64)"
     assert set(o) <= set(q)

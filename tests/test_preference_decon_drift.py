@@ -143,9 +143,12 @@ def test_corpus_drift_matches_hand_computed_psi(spark):
         return math.floor(x * 1e6 + 0.5) / 1e6
 
     def term(ref_n, cur_n, ref_tot, cur_tot, k):
-        p = r9((ref_n + 1) / (ref_tot + k))
-        q = r9((cur_n + 1) / (cur_tot + k))
-        return p, q, r9((p - q) * math.log(r9(p / q)))
+        # exact shares; only the ln result and the term are 9-dp-rounded
+        # (rounding the share collapses sub-5e-10 shares to ln(0) at the
+        # operator's advertised scale — review finding)
+        p = (ref_n + 1) / (ref_tot + k)
+        q = (cur_n + 1) / (cur_tot + k)
+        return p, q, r9((p - q) * r9(math.log(p / q)))
 
     p_en, q_en, t_en = term(2, 3, 3, 3, 2)
     p_zh, q_zh, t_zh = term(1, 0, 3, 3, 2)
