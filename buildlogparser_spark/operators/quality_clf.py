@@ -215,9 +215,15 @@ def quality_classifier_sql(table: str = "documents",
         "1.0 / (1.0 + exp(-(" + portable_round_sql("{m}", 9) + ")))", 9)
 
     def margins(feats: str, w: str, b: str, out: str) -> str:
+        # MATERIALIZED: each m{i} feeds BOTH g{i} and b{i+1}; inlined, the
+        # doc-keyed list fold over the feature stream re-derives per
+        # consumer and the 5-iteration chain exhausts an 8 GB limit at
+        # sf0.1 (measured 40 s → OOM; materialized the sweep passes — the
+        # r04 MATERIALIZED-CTE lesson applied to the one chain that missed
+        # it). Values unchanged: materialization is a plan property.
         m = ("list_reduce(list(x * w ORDER BY bucket), (a, c) -> a + c)"
              f" + (SELECT b FROM {b})")
-        return (f"{out} AS (\n"
+        return (f"{out} AS MATERIALIZED (\n"
                 f"  SELECT doc_id, max(y) AS y,\n"
                 f"         {sig.format(m=m)} AS p\n"
                 f"  FROM {feats} JOIN {w} USING (bucket) GROUP BY doc_id\n)")
